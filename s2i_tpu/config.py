@@ -1,0 +1,240 @@
+"""Config system: attribute-dict tree + YAML merge + CLI overrides.
+
+Mirrors the reference's easydict-global-``cfg`` + ``cfg_from_file`` surface
+(reference: ``miscc/config.py`` per SURVEY.md §2 "Config system" — key names
+``TRAIN.BATCH_SIZE``, ``GAN.GF_DIM``, ``TEXT.DIMENSION`` etc. are kept
+identical so reference YAML files and scripts port over unchanged), but the
+default tree here is explicit and documented, and configs are *values* you
+pass around rather than process-global state (a module-level ``cfg`` is still
+exported for script parity).
+
+Every audio-frontend hyperparameter that SURVEY.md tags unverified ([?]) is a
+knob in the ``AUDIO`` block.
+"""
+
+from __future__ import annotations
+
+import copy
+import io
+from typing import Any, Mapping
+
+import yaml
+
+
+class AttrDict(dict):
+    """dict with attribute access, recursive over nested mappings."""
+
+    def __init__(self, *args: Any, **kwargs: Any):
+        super().__init__(*args, **kwargs)
+        for k, v in list(self.items()):
+            if isinstance(v, Mapping) and not isinstance(v, AttrDict):
+                self[k] = AttrDict(v)
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        if isinstance(value, Mapping) and not isinstance(value, AttrDict):
+            value = AttrDict(value)
+        self[name] = value
+
+    def __deepcopy__(self, memo: dict) -> "AttrDict":
+        return AttrDict(
+            {k: copy.deepcopy(v, memo) for k, v in self.items()}
+        )
+
+
+def default_cfg() -> AttrDict:
+    """The full default config tree (StackGAN-v2-lineage key names)."""
+    return AttrDict(
+        {
+            "CONFIG_NAME": "default",
+            "DATASET_NAME": "birds",
+            "DATA_DIR": "data/birds",
+            "OUTPUT_DIR": "output",
+            "GPU_ID": "0",  # kept for script parity; ignored on TPU
+            "WORKERS": 4,
+            "SEED": 0,
+            "CUDA": False,  # parity knob; meaningless on TPU
+            "TREE": {
+                # BRANCH_NUM: number of G stages / D scales (1..3).
+                "BRANCH_NUM": 3,
+                "BASE_SIZE": 64,
+            },
+            "TRAIN": {
+                "FLAG": True,
+                "BATCH_SIZE": 24,
+                "MAX_EPOCH": 600,
+                "SNAPSHOT_INTERVAL": 2000,
+                "DISCRIMINATOR_LR": 2.0e-4,
+                "GENERATOR_LR": 2.0e-4,
+                "ADAM_BETA1": 0.5,
+                "ADAM_BETA2": 0.999,
+                "NET_G": "",
+                "NET_D": "",
+                "NET_E": "",  # speech-encoder checkpoint (joint finetune)
+                "B_NET_D": True,
+                "COEFF": {
+                    "KL": 2.0,
+                    "UNCOND_LOSS": 1.0,
+                    # StackGAN-v2 color-consistency regularizer; coefficient
+                    # unverified in the reference (SURVEY.md §2 [?]) — off by
+                    # default, enable via cfg.
+                    "COLOR_LOSS": 0.0,
+                    # joint-finetune distillation regularizer weight
+                    "DISTILL": 0.0,
+                },
+                # Flags for the encoder-in-the-loop ("joint") mode (§3.5).
+                "JOINT_FT": False,
+                "EMA_G": 0.0,  # EMA decay for G params; 0 disables (ref has none)
+            },
+            "GAN": {
+                "DF_DIM": 64,
+                "GF_DIM": 64,
+                "Z_DIM": 100,
+                "EMBEDDING_DIM": 128,  # CA-net condition dim
+                "R_NUM": 2,  # residual blocks per next-stage
+                "NETWORK_TYPE": "default",
+                "B_CONDITION": True,
+            },
+            "TEXT": {
+                # Teacher (char-CNN-RNN) embedding dim == speech-encoder output.
+                "DIMENSION": 1024,
+                "CAPTIONS_PER_IMAGE": 10,
+            },
+            "AUDIO": {
+                # SURVEY.md §2 row 1: paper-style frontend, all [?]-grade
+                # values kept as knobs.
+                "SAMPLE_RATE": 16000,
+                "WIN_MS": 25.0,
+                "HOP_MS": 10.0,
+                "N_FFT": 512,
+                "N_MELS": 40,
+                "FMIN": 0.0,
+                "FMAX": 8000.0,
+                "HTK_MEL": False,  # False = Slaney-style mel (librosa default)
+                "MEL_NORM": "slaney",  # 'slaney' area-norm or 'none'
+                "LOG_OFFSET": 1.0e-6,
+                "MAX_FRAMES": 1024,  # fixed-length crop/pad target
+                "NORMALIZE": "utterance",  # 'utterance' mean-var | 'none'
+                "FEATURE": "logmel",  # 'logmel' | 'mfcc'
+                "N_MFCC": 40,
+                "PREEMPHASIS": 0.0,  # 0 disables
+                "CENTER": False,  # frame from sample 0 (no reflect padding)
+            },
+            "ENCODER": {
+                # Speech encoder (SURVEY.md §2 row 3): CNN + bi-GRU + pool + FC.
+                "CONV_CHANNELS": [64, 128, 256],
+                "CONV_KERNEL": 5,
+                "CONV_STRIDE": 2,
+                "RNN_HIDDEN": 512,
+                "RNN_LAYERS": 1,
+                "BIDIRECTIONAL": True,
+                "POOL": "mean_max",  # 'mean' | 'max' | 'mean_max'
+                "CLS_HEAD": True,  # auxiliary class-CE head for distillation
+                "N_CLASSES": 200,  # CUB-200; 102 for flowers
+                "LR": 1.0e-3,
+                "BATCH_SIZE": 64,
+                "EPOCHS": 100,
+                "CE_COEFF": 0.1,  # aux CE weight ([?] in SURVEY); 0 disables
+                "NORM_OUT": False,  # L2-normalize the 1024-d embedding
+            },
+            "EVAL": {
+                "NUM_SAMPLES_PER_EMB": 1,
+                "IS_SPLITS": 10,
+                "FID_BATCH": 64,
+                "INCEPTION_WEIGHTS": "",  # path to ported fine-tuned weights
+            },
+            "MESH": {
+                # Parallelism (SURVEY.md §2 parallelism rows): data-parallel is
+                # what the reference has; axes beyond 'data' are open for
+                # extension and exercised by the multi-chip dry run.
+                "DATA_AXIS": "data",
+                "NUM_DEVICES": 0,  # 0 = all visible devices
+            },
+            "DTYPE": {
+                "COMPUTE": "bfloat16",  # matmul/conv compute dtype
+                "PARAMS": "float32",
+            },
+        }
+    )
+
+
+def _merge_into(base: AttrDict, other: Mapping) -> None:
+    """Recursively merge ``other`` into ``base`` (reference-style merge_cfg).
+
+    Unknown keys are allowed (the reference's easydict also accepted them) but
+    type mismatches on known scalar keys raise, to catch YAML typos early.
+    """
+    for k, v in other.items():
+        if k in base and isinstance(base[k], dict) and isinstance(v, Mapping):
+            _merge_into(base[k], v)
+        else:
+            if k in base and not _types_compatible(base[k], v):
+                raise TypeError(
+                    f"config key {k}: expected {type(base[k]).__name__}, "
+                    f"got {type(v).__name__} ({v!r})"
+                )
+            base[k] = AttrDict(v) if isinstance(v, Mapping) else v
+
+
+def _types_compatible(old: Any, new: Any) -> bool:
+    if old is None or new is None or isinstance(old, dict):
+        return True
+    if isinstance(old, bool) or isinstance(new, bool):
+        return isinstance(old, bool) and isinstance(new, bool)
+    if type(old) is type(new):
+        return True
+    # int→float promotion is fine
+    return isinstance(old, float) and isinstance(new, int)
+
+
+def cfg_from_file(path: str, base: AttrDict | None = None) -> AttrDict:
+    """Load a YAML file and merge it over the defaults (or ``base``)."""
+    out = copy.deepcopy(base) if base is not None else default_cfg()
+    with open(path, "r") as f:
+        loaded = yaml.safe_load(f)
+    if loaded:
+        _merge_into(out, loaded)
+    return out
+
+
+def cfg_from_string(text: str, base: AttrDict | None = None) -> AttrDict:
+    out = copy.deepcopy(base) if base is not None else default_cfg()
+    loaded = yaml.safe_load(io.StringIO(text))
+    if loaded:
+        _merge_into(out, loaded)
+    return out
+
+
+def apply_overrides(cfg_tree: AttrDict, overrides: list[str]) -> AttrDict:
+    """Apply ``KEY.SUBKEY=value`` CLI overrides (values parsed as YAML)."""
+    for item in overrides:
+        key, _, raw = item.partition("=")
+        if not _:
+            raise ValueError(f"override {item!r} is not KEY=VALUE")
+        node = cfg_tree
+        parts = key.strip().split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = yaml.safe_load(raw)
+    return cfg_tree
+
+
+def dump_cfg(cfg_tree: AttrDict, path: str) -> None:
+    """Dump the resolved config into the run dir (reference logs its cfg too)."""
+    with open(path, "w") as f:
+        yaml.safe_dump(_to_plain(cfg_tree), f, sort_keys=False)
+
+
+def _to_plain(tree: Mapping) -> dict:
+    return {
+        k: _to_plain(v) if isinstance(v, Mapping) else v for k, v in tree.items()
+    }
+
+
+# Module-level cfg for script parity with the reference's global `cfg`.
+cfg = default_cfg()

@@ -1,0 +1,133 @@
+"""Fused Pallas TPU kernel for the log-mel frontend.
+
+Replaces the reference's host-side librosa melspectrogram (SURVEY.md §2 row 1)
+with one on-device fused kernel per frame-block:
+
+    frames @ C  ─┐
+                 ├─ re² + im²  →  @ melᵀ  →  log(· + offset)
+    frames @ S  ─┘
+
+All three contractions hit the MXU; the square/add/log run on the VPU over
+VMEM-resident intermediates, so the power spectrum never round-trips to HBM.
+The windowed-DFT matrices C/S come from
+:func:`s2i_tpu.audio.filters.windowed_dft_matrices` with the Hann window and
+the n_fft zero-padding folded in (rows ≥ win_length are zero, which lets the
+host framing gather a full ``n_fft`` span per frame without masking).
+
+Equivalence against the pure-jnp path is enforced by tests/test_frontend.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from s2i_tpu.audio.frontend import FrontendParams, preemphasize
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _mel_kernel(frames_ref, c_ref, s_ref, melt_ref, out_ref, *, log_offset):
+    f = frames_ref[:]
+    # HIGHEST: full-fp32 MXU passes; the trailing log() amplifies rounding in
+    # near-zero bins, so bf16 decomposition is not acceptable here.
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(f, c_ref[:], preferred_element_type=jnp.float32, precision=hi)
+    im = jnp.dot(f, s_ref[:], preferred_element_type=jnp.float32, precision=hi)
+    power = re * re + im * im
+    mel = jnp.dot(
+        power, melt_ref[:], preferred_element_type=jnp.float32, precision=hi
+    )
+    out_ref[:] = jnp.log(mel + log_offset)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "block_frames"))
+def logmel_pallas(
+    wav: jax.Array, p: FrontendParams, block_frames: int = 256
+) -> jax.Array:
+    """wav [B, n_samples] → log-mel [B, n_frames, n_mels] via the fused kernel.
+
+    Framing is a strided gather done by XLA (bandwidth-bound, fuses with the
+    preceding load); everything downstream of framing is one pallas_call.
+    """
+    assert wav.ndim == 2, "expect [batch, n_samples]"
+    wav = preemphasize(wav.astype(jnp.float32), p.preemphasis)
+    if p.center:
+        pad = p.win_length // 2
+        wav = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+
+    b, n_samples = wav.shape
+    n_frames = 1 + (n_samples - p.win_length) // p.hop_length
+    if n_frames <= 0:
+        raise ValueError("signal shorter than one window")
+
+    # Gather n_fft (not win_length) samples per frame; DFT rows >= win_length
+    # are zero so the extra samples never contribute. Pad the tail so the last
+    # frame's span exists.
+    span = p.n_fft
+    wav = jnp.pad(wav, ((0, 0), (0, max(0, span - p.win_length))))
+    idx = (
+        np.arange(n_frames)[:, None] * p.hop_length + np.arange(span)[None, :]
+    )
+    frames = wav[:, idx].reshape(b * n_frames, span)
+
+    # Pad constant matrices to lane-aligned shapes.
+    bins_pad = _round_up(p.n_bins, 128)
+    mels_pad = _round_up(p.n_mels, 128)
+    span_pad = _round_up(span, 128)
+
+    c = np.zeros((span_pad, bins_pad), np.float32)
+    s = np.zeros((span_pad, bins_pad), np.float32)
+    c[: p.win_length, : p.n_bins] = p.dft_cos
+    s[: p.win_length, : p.n_bins] = p.dft_sin
+    melt = np.zeros((bins_pad, mels_pad), np.float32)
+    melt[: p.n_bins, : p.n_mels] = p.mel_fb.T
+
+    rows = frames.shape[0]
+    rows_pad = _round_up(rows, block_frames)
+    frames = jnp.pad(frames, ((0, rows_pad - rows), (0, span_pad - span)))
+
+    grid = (rows_pad // block_frames,)
+    # On non-TPU backends (CPU test mesh) run the kernel in interpreter mode —
+    # same kernel body, same coverage, no TPU required (SURVEY.md §4).
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(_mel_kernel, log_offset=p.log_offset),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, mels_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (block_frames, span_pad),
+                lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((span_pad, bins_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((span_pad, bins_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bins_pad, mels_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_frames, mels_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows_pad * span_pad * bins_pad * 2
+            + 2 * rows_pad * bins_pad * mels_pad,
+            bytes_accessed=4
+            * (
+                rows_pad * span_pad
+                + 2 * span_pad * bins_pad
+                + bins_pad * mels_pad
+                + rows_pad * mels_pad
+            ),
+            transcendentals=rows_pad * mels_pad,
+        ),
+    )(frames, jnp.asarray(c), jnp.asarray(s), jnp.asarray(melt))
+
+    return out[:rows, : p.n_mels].reshape(b, n_frames, p.n_mels)

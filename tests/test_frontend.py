@@ -1,0 +1,116 @@
+"""L0 audio-frontend tests: jnp path vs numpy oracle vs fused Pallas kernel.
+
+The Pallas kernel runs in interpreter semantics on CPU (pallas supports CPU
+lowering via interpret through the same API), giving bit-faithful coverage of
+the kernel math without TPU hardware.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from s2i_tpu.audio import (
+    FrontendParams,
+    frontend_params_from_cfg,
+    logmel_jnp,
+    mfcc_jnp,
+    extract_features,
+    crop_or_pad_frames,
+    normalize_features,
+    mel_filterbank,
+)
+from s2i_tpu.audio.oracle import logmel_numpy
+from s2i_tpu import config
+
+
+P_SMALL = FrontendParams(max_frames=64)
+
+
+def _chirp(n, sr=16000, f0=200.0, f1=4000.0, seed=0):
+    # Chirp + broadband noise floor: every mel bin carries energy, so the
+    # log-domain comparison is well-conditioned in float32 (pure tones leave
+    # near-zero bins where log() amplifies fp32 rounding noise).
+    t = np.arange(n) / sr
+    tone = np.sin(2 * np.pi * (f0 + (f1 - f0) * t / t[-1] / 2) * t)
+    noise = 0.05 * np.random.default_rng(seed).standard_normal(n)
+    return (tone + noise).astype(np.float32)
+
+
+def test_mel_filterbank_shape_and_coverage():
+    fb = mel_filterbank(16000, 512, 40, 0.0, 8000.0)
+    assert fb.shape == (40, 257)
+    assert np.all(fb >= 0)
+    # every filter has some support
+    assert np.all(fb.sum(axis=1) > 0)
+    # HTK variant differs from Slaney
+    fb_htk = mel_filterbank(16000, 512, 40, 0.0, 8000.0, htk=True, norm="none")
+    assert not np.allclose(fb, fb_htk)
+
+
+def test_logmel_jnp_matches_numpy_oracle():
+    wav = _chirp(16000)  # 1 s
+    got = np.asarray(logmel_jnp(jnp.asarray(wav)[None], P_SMALL))[0]
+    want = logmel_numpy(wav, P_SMALL)
+    assert got.shape == want.shape == (P_SMALL.num_frames(16000), 40)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_logmel_pallas_matches_jnp():
+    from s2i_tpu.ops.mel_kernel import logmel_pallas
+
+    wav = jnp.asarray(np.stack([_chirp(8000), _chirp(8000, f0=400.0)]))
+    want = logmel_jnp(wav, P_SMALL)
+    got = logmel_pallas(wav, P_SMALL)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_mfcc_shapes():
+    wav = jnp.asarray(_chirp(8000))[None]
+    m = mfcc_jnp(wav, P_SMALL)
+    assert m.shape == (1, P_SMALL.num_frames(8000), P_SMALL.n_mfcc)
+
+
+def test_crop_pad_and_mask():
+    x = jnp.ones((2, 10, 40))
+    out, mask = crop_or_pad_frames(x, 16)
+    assert out.shape == (2, 16, 40)
+    assert bool(mask[:, :10].all()) and not bool(mask[:, 10:].any())
+    out2, mask2 = crop_or_pad_frames(x, 8)
+    assert out2.shape == (2, 8, 40) and bool(mask2.all())
+
+
+def test_normalize_masked_stats():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(3.0, 2.0, (1, 20, 8)).astype(np.float32))
+    mask = jnp.arange(20)[None, :] < 15
+    y = normalize_features(x, mask)
+    valid = np.asarray(y)[0, :15]
+    assert abs(valid.mean()) < 1e-4
+    assert abs(valid.std() - 1.0) < 1e-3
+    assert np.all(np.asarray(y)[0, 15:] == 0.0)
+
+
+def test_extract_features_end_to_end():
+    p = FrontendParams(max_frames=128)
+    wav = jnp.asarray(
+        np.stack([_chirp(16000), np.pad(_chirp(12000), (0, 4000))])
+    )
+    feats, mask = extract_features(wav, p)
+    assert feats.shape == (2, 128, 40)
+    assert mask.shape == (2, 128)
+    # normalized over valid frames
+    assert abs(float(feats[0][np.asarray(mask[0])].mean())) < 1e-3
+
+
+def test_frontend_params_from_cfg():
+    c = config.default_cfg()
+    p = frontend_params_from_cfg(c.AUDIO)
+    assert p.win_length == 400 and p.hop_length == 160
+    assert p.n_bins == 257 and p.n_features == 40
+    c2 = config.cfg_from_string("AUDIO:\n  FEATURE: mfcc\n  N_MFCC: 13\n")
+    p2 = frontend_params_from_cfg(c2.AUDIO)
+    assert p2.n_features == 13
