@@ -1,0 +1,111 @@
+"""Multi-stage generator (SURVEY.md §2 row "Generator (multi-stage)";
+reference ``G_NET``/``INIT_STAGE_G``/``NEXT_STAGE_G``/``GET_IMAGE_G`` in the
+GAN's ``model.py``, StackGAN-v2 joint-generator topology).
+
+One forward produces images at every scale (64 → 128 → 256 for
+``branch_num=3``):
+
+  init stage : [z ‖ c] → fc → BN → GLU → 4×4×(16·gf) map → 4 up-blocks → 64²×gf
+  next stage : tile c over h×w, concat → 3×3 GLU block → R_NUM res-blocks
+               → up-block (channels halve, resolution doubles)
+  to-RGB     : 3×3 conv → tanh, one head per stage
+
+All stages live in one Flax module so the whole multi-scale forward is a
+single XLA program (the jitted train step differentiates through it once).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from s2i_tpu.models.layers import (
+    BatchNorm,
+    Block3x3GLU,
+    Conv3x3,
+    ResBlockGLU,
+    UpBlockGLU,
+    glu,
+)
+
+
+class InitStageG(nn.Module):
+    gf_dim: int  # channel count at the 4×4 map == 16 * cfg.GAN.GF_DIM
+    dtype: Any = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, z: jax.Array, c: jax.Array, train: bool = True):
+        ngf = self.gf_dim
+        x = jnp.concatenate([z, c.astype(z.dtype)], axis=-1)
+        x = nn.Dense(ngf * 4 * 4 * 2, use_bias=False, dtype=self.dtype)(x)
+        x = BatchNorm(self.dtype, self.axis_name)(x, train)
+        x = glu(x)
+        x = x.reshape(x.shape[0], 4, 4, ngf)
+        for i in range(4):  # 4×4 → 64×64
+            x = UpBlockGLU(ngf // (2 ** (i + 1)), self.dtype, self.axis_name)(
+                x, train
+            )
+        return x  # [B, 64, 64, ngf/16]
+
+
+class NextStageG(nn.Module):
+    gf_dim: int  # input channel count
+    num_res: int = 2
+    dtype: Any = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, h: jax.Array, c: jax.Array, train: bool = True):
+        ngf = self.gf_dim
+        b, hh, ww, _ = h.shape
+        c_tiled = jnp.broadcast_to(
+            c[:, None, None, :], (b, hh, ww, c.shape[-1])
+        ).astype(h.dtype)
+        x = jnp.concatenate([h, c_tiled], axis=-1)
+        x = Block3x3GLU(ngf, self.dtype, self.axis_name)(x, train)
+        for _ in range(self.num_res):
+            x = ResBlockGLU(ngf, self.dtype, self.axis_name)(x, train)
+        x = UpBlockGLU(ngf // 2, self.dtype, self.axis_name)(x, train)
+        return x  # [B, 2H, 2W, ngf/2]
+
+
+class ToRGB(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jax.Array):
+        img = Conv3x3(3, self.dtype)(h)
+        return nn.tanh(img.astype(jnp.float32))
+
+
+class GNet(nn.Module):
+    """Joint multi-stage generator. Returns a list of images, one per stage,
+    each [B, S, S, 3] in [-1, 1] with S = 64·2^i."""
+
+    gf_dim: int = 64  # cfg.GAN.GF_DIM
+    branch_num: int = 3  # cfg.TREE.BRANCH_NUM
+    num_res: int = 2  # cfg.GAN.R_NUM
+    dtype: Any = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(
+        self, z: jax.Array, c: jax.Array, train: bool = True
+    ) -> list[jax.Array]:
+        imgs = []
+        h = InitStageG(self.gf_dim * 16, self.dtype, self.axis_name, name="init")(
+            z, c, train
+        )
+        imgs.append(ToRGB(self.dtype, name="to_rgb0")(h))
+        ngf = self.gf_dim
+        for i in range(1, self.branch_num):
+            h = NextStageG(
+                ngf, self.num_res, self.dtype, self.axis_name, name=f"next{i}"
+            )(h, c, train)
+            ngf //= 2
+            imgs.append(ToRGB(self.dtype, name=f"to_rgb{i}")(h))
+        return imgs

@@ -1,21 +1,42 @@
 """Test harness config: force an 8-device virtual CPU mesh (SURVEY.md §4).
 
-Must set the env vars before jax is imported anywhere in the test process —
-this file is imported by pytest before any test module.
+Subtlety: this container's ``sitecustomize`` (PYTHONPATH=/root/.axon_site)
+pre-imports jax at interpreter startup and registers the axon TPU PJRT
+plugin, so JAX_PLATFORMS in the environment is already latched by the time
+conftest runs. Backends themselves initialize lazily, so
+``jax.config.update("jax_platforms", "cpu")`` still wins — unless something
+initialized a backend even earlier, in which case we re-exec pytest once with
+a corrected environment.
 """
 
 import os
+import sys
 
-# The container's sitecustomize registers the axon TPU PJRT plugin whenever
-# PALLAS_AXON_POOL_IPS is non-empty, which overrides JAX_PLATFORMS=cpu —
-# clear it so tests get a deterministic 8-device virtual CPU mesh.
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
-os.environ["JAX_PLATFORMS"] = "cpu"
+_FLAG = "--xla_force_host_platform_device_count=8"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    os.environ["XLA_FLAGS"] = (flags + " " + _FLAG).strip()
+
+import jax  # noqa: E402  (already imported by sitecustomize anyway)
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
+if jax.default_backend() != "cpu" or len(jax.devices()) != 8:
+    if os.environ.get("S2I_TEST_REEXEC"):
+        raise RuntimeError(
+            f"tests need an 8-device CPU mesh, got {jax.default_backend()} "
+            f"x{len(jax.devices())} even after re-exec"
+        )
+    env = dict(os.environ)
+    env["S2I_TEST_REEXEC"] = "1"
+    env["PALLAS_AXON_POOL_IPS"] = ""  # stops sitecustomize's axon registration
+    env["JAX_PLATFORMS"] = "cpu"
+    os.execve(
+        sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env
+    )
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,126 @@
+"""L2 model tests: shape goldens at all scales, GRU-scan correctness vs a
+hand-rolled per-step oracle, CA KL math (SURVEY.md §4 "Unit"/"Golden")."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from s2i_tpu.models import (
+    SpeechEncoder,
+    CANet,
+    GNet,
+    DNet64,
+    DNet128,
+    DNet256,
+    build_discriminators,
+)
+from s2i_tpu.models.ca_net import kl_divergence
+from s2i_tpu.models.encoder import GRULayer
+
+
+def test_canet_shapes_and_kl():
+    m = CANet(c_dim=128)
+    emb = jnp.ones((4, 1024))
+    params = m.init(jax.random.key(0), emb, jax.random.key(1))
+    c, mu, logvar = m.apply(params, emb, jax.random.key(2))
+    assert c.shape == mu.shape == logvar.shape == (4, 128)
+    # eval mode: deterministic, c == mu
+    c_eval, mu_eval, _ = m.apply(params, emb, train=False)
+    np.testing.assert_allclose(np.asarray(c_eval), np.asarray(mu_eval))
+    # KL of a standard normal posterior is 0
+    zero = jnp.zeros((4, 128))
+    assert float(kl_divergence(zero, zero)) == pytest.approx(0.0)
+    # KL is positive elsewhere
+    assert float(kl_divergence(jnp.ones((4, 128)), zero)) > 0
+
+
+@pytest.mark.parametrize("branch_num", [1, 2, 3])
+def test_gnet_multiscale_shapes(branch_num):
+    g = GNet(gf_dim=16, branch_num=branch_num, num_res=2)
+    z = jnp.ones((2, 100))
+    c = jnp.ones((2, 128))
+    variables = g.init(jax.random.key(0), z, c)
+    imgs, _ = g.apply(variables, z, c, mutable=["batch_stats"])
+    assert len(imgs) == branch_num
+    for i, img in enumerate(imgs):
+        s = 64 * 2**i
+        assert img.shape == (2, s, s, 3)
+        assert img.dtype == jnp.float32
+        x = np.asarray(img)
+        assert x.min() >= -1.0 and x.max() <= 1.0
+
+
+def test_discriminator_shapes():
+    c = jnp.ones((2, 128))
+    for size, cls in [(64, DNet64), (128, DNet128), (256, DNet256)]:
+        d = cls(df_dim=16, ef_dim=128)
+        img = jnp.ones((2, size, size, 3))
+        variables = d.init(jax.random.key(0), img, c)
+        (cond, uncond), _ = d.apply(variables, img, c, mutable=["batch_stats"])
+        assert cond.shape == (2,) and uncond.shape == (2,)
+        # unconditional-only call
+        (cond_n, uncond2), _ = d.apply(variables, img, None, mutable=["batch_stats"])
+        assert cond_n is None and uncond2.shape == (2,)
+
+
+def test_build_discriminators():
+    ds = build_discriminators(3, df_dim=8)
+    assert [type(d) for d in ds] == [DNet64, DNet128, DNet256]
+
+
+def test_gru_scan_matches_manual_loop():
+    rng = np.random.default_rng(0)
+    b, t, c, h = 2, 7, 5, 4
+    x = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    mask = jnp.asarray(np.array([[1] * 7, [1] * 4 + [0] * 3], dtype=bool))
+    layer = GRULayer(hidden=h)
+    params = layer.init(jax.random.key(0), x, mask)
+    ys = layer.apply(params, x, mask)
+    assert ys.shape == (b, t, h)
+
+    # Manual per-step recomputation with numpy
+    p = jax.tree.map(np.asarray, params["params"])
+    wi, bi = p["input_proj"]["kernel"], p["input_proj"]["bias"]
+    wh, bh = p["recurrent_kernel"], p["recurrent_bias"]
+    xw = np.asarray(x) @ wi + bi
+    hprev = np.zeros((b, h), np.float32)
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+    for step in range(t):
+        hw = hprev @ wh + bh
+        xr, xz, xn = np.split(xw[:, step], 3, axis=-1)
+        hr, hz, hn = np.split(hw, 3, axis=-1)
+        r, z = sig(xr + hr), sig(xz + hz)
+        n = np.tanh(xn + r * hn)
+        hnew = (1 - z) * n + z * hprev
+        m = np.asarray(mask)[:, step : step + 1]
+        hprev = np.where(m, hnew, hprev)
+        np.testing.assert_allclose(
+            np.asarray(ys[:, step]), hprev, rtol=1e-5, atol=1e-5
+        )
+
+    # Masked tail must not change the last valid hidden state
+    ys_np = np.asarray(ys)
+    np.testing.assert_allclose(ys_np[1, 4], ys_np[1, 6], rtol=1e-6)
+
+
+def test_speech_encoder_shapes_and_mask_invariance():
+    enc = SpeechEncoder(
+        emb_dim=1024, conv_channels=(8, 16), rnn_hidden=32, n_classes=10
+    )
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((2, 64, 40)).astype(np.float32))
+    mask = jnp.asarray(np.array([[1] * 64, [1] * 32 + [0] * 32], dtype=bool))
+    variables = enc.init(jax.random.key(0), feats, mask)
+    (emb, logits), _ = enc.apply(variables, feats, mask, mutable=["batch_stats"])
+    assert emb.shape == (2, 1024) and logits.shape == (2, 10)
+
+    # Padding-content invariance: junk in masked frames must not leak.
+    feats2 = np.asarray(feats).copy()
+    feats2[1, 32:] = 99.0
+    (emb2, _), _ = enc.apply(
+        variables, jnp.asarray(feats2), mask, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(emb[1]), np.asarray(emb2[1]), rtol=2e-3, atol=2e-3
+    )
