@@ -89,7 +89,10 @@ def default_cfg() -> AttrDict:
                 },
                 # Flags for the encoder-in-the-loop ("joint") mode (§3.5).
                 "JOINT_FT": False,
-                "EMA_G": 0.0,  # EMA decay for G params; 0 disables (ref has none)
+                # Polyak-averaged copy of G used for snapshots/sampling
+                # (StackGAN-v2 lineage keeps avg_param_G with decay 0.999);
+                # 0 disables.
+                "EMA_G": 0.999,
             },
             "GAN": {
                 "DF_DIM": 64,

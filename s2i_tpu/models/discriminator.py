@@ -1,10 +1,16 @@
 """Per-scale discriminators (SURVEY.md §2 row "Discriminators ×3"; reference
 ``D_NET64/128/256`` + ``D_GET_LOGITS`` in the GAN's ``model.py``).
 
-Each D downsamples its scale to a 4×4×(8·df) code, then produces:
-  - a *conditional* logit (embedding c tiled over 4×4, concatenated, 3×3
-    block, 4×4 valid conv → scalar), and
-  - an *unconditional* logit (4×4 valid conv → scalar).
+Each D has a *trunk* that downsamples its scale to a 4×4×(8·df) code and two
+heads over that code:
+  - conditional logit (embedding c tiled over 4×4, concat, 3×3 block, 4×4
+    valid conv → scalar),
+  - unconditional logit (4×4 valid conv → scalar).
+
+Trunk and heads are separately callable (``method='train_logits'``) so the
+train step runs the trunk ONCE per image batch and reuses the real-image code
+for both the matched and wrong-pair conditional heads — the reference re-runs
+the full D on the wrong pairs, one of three trunk passes we fuse away.
 
 Raw logits out; the trainer uses BCE-with-logits (see layers.py docstring).
 """
@@ -20,10 +26,12 @@ from flax import linen as nn
 from s2i_tpu.models.layers import Block3x3LeakyReLU, DownBlock
 
 
-class _Encode16(nn.Module):
-    """Downsample ×16: s → s/16 spatial, 8·df channels (first block no BN)."""
+class _Trunk(nn.Module):
+    """Downsample to a 4×4 × (8·df) code. ``extra_down`` adds the deeper
+    pyramid used at 128 (1) and 256 (2) with the channel-resqueeze blocks."""
 
     df_dim: int
+    extra_down: int = 0
     dtype: Any = jnp.float32
     axis_name: str | None = None
 
@@ -34,14 +42,20 @@ class _Encode16(nn.Module):
         x = DownBlock(ndf * 2, True, self.dtype, self.axis_name)(x, train)
         x = DownBlock(ndf * 4, True, self.dtype, self.axis_name)(x, train)
         x = DownBlock(ndf * 8, True, self.dtype, self.axis_name)(x, train)
-        return x
+        ch = ndf * 8
+        for _ in range(self.extra_down):
+            ch *= 2
+            x = DownBlock(ch, True, self.dtype, self.axis_name)(x, train)
+        while ch > ndf * 8:
+            ch //= 2
+            x = Block3x3LeakyReLU(ch, self.dtype, self.axis_name)(x, train)
+        return x  # [B, 4, 4, 8·ndf]
 
 
-class _Logits(nn.Module):
+class _Heads(nn.Module):
     """Conditional + unconditional logit heads over the 4×4 code."""
 
     df_dim: int
-    ef_dim: int
     b_condition: bool = True
     dtype: Any = jnp.float32
     axis_name: str | None = None
@@ -50,7 +64,8 @@ class _Logits(nn.Module):
     def __call__(self, code, c=None, train: bool = True):
         ndf = self.df_dim
         uncond = nn.Conv(
-            1, (4, 4), strides=(4, 4), padding="VALID", dtype=self.dtype
+            1, (4, 4), strides=(4, 4), padding="VALID", dtype=self.dtype,
+            name="uncond_logit",
         )(code)
         uncond = uncond.reshape(code.shape[0]).astype(jnp.float32)
         if not (self.b_condition and c is not None):
@@ -60,65 +75,64 @@ class _Logits(nn.Module):
             c[:, None, None, :], (b, h, w, c.shape[-1])
         ).astype(code.dtype)
         x = jnp.concatenate([code, c_tiled], axis=-1)
-        x = Block3x3LeakyReLU(ndf * 8, self.dtype, self.axis_name)(x, train)
+        x = Block3x3LeakyReLU(ndf * 8, self.dtype, self.axis_name, name="joint")(
+            x, train
+        )
         cond = nn.Conv(
-            1, (4, 4), strides=(4, 4), padding="VALID", dtype=self.dtype
+            1, (4, 4), strides=(4, 4), padding="VALID", dtype=self.dtype,
+            name="cond_logit",
         )(x)
         cond = cond.reshape(b).astype(jnp.float32)
         return cond, uncond
 
 
-class DNet64(nn.Module):
+class DNetBase(nn.Module):
+    """Shared D structure; ``EXTRA_DOWN`` picks the scale."""
+
     df_dim: int = 64
     ef_dim: int = 128
     b_condition: bool = True
     dtype: Any = jnp.float32
     axis_name: str | None = None
 
-    @nn.compact
+    EXTRA_DOWN: int = 0
+
+    def setup(self):
+        self.trunk = _Trunk(
+            self.df_dim, self.EXTRA_DOWN, self.dtype, self.axis_name
+        )
+        self.heads = _Heads(
+            self.df_dim, self.b_condition, self.dtype, self.axis_name
+        )
+
     def __call__(self, img, c=None, train: bool = True):
-        code = _Encode16(self.df_dim, self.dtype, self.axis_name)(img, train)
-        return _Logits(
-            self.df_dim, self.ef_dim, self.b_condition, self.dtype, self.axis_name
-        )(code, c, train)
+        return self.heads(self.trunk(img, train), c, train)
+
+    def train_logits(self, real, fake, c, c_wrong, train: bool = True):
+        """All six logit groups for one D step with two trunk passes.
+
+        Returns (cond_real, uncond_real, cond_wrong, uncond_wrong,
+        cond_fake, uncond_fake); uncond_wrong aliases uncond_real because the
+        wrong *pair* reuses the real image (reference pairs real images with
+        shifted embeddings)."""
+        code_real = self.trunk(real, train)
+        code_fake = self.trunk(fake, train)
+        cond_real, uncond_real = self.heads(code_real, c, train)
+        cond_wrong, _ = self.heads(code_real, c_wrong, train)
+        cond_fake, uncond_fake = self.heads(code_fake, c, train)
+        return cond_real, uncond_real, cond_wrong, uncond_real, cond_fake, uncond_fake
 
 
-class DNet128(nn.Module):
-    df_dim: int = 64
-    ef_dim: int = 128
-    b_condition: bool = True
-    dtype: Any = jnp.float32
-    axis_name: str | None = None
-
-    @nn.compact
-    def __call__(self, img, c=None, train: bool = True):
-        ndf = self.df_dim
-        code = _Encode16(ndf, self.dtype, self.axis_name)(img, train)
-        code = DownBlock(ndf * 16, True, self.dtype, self.axis_name)(code, train)
-        code = Block3x3LeakyReLU(ndf * 8, self.dtype, self.axis_name)(code, train)
-        return _Logits(
-            ndf, self.ef_dim, self.b_condition, self.dtype, self.axis_name
-        )(code, c, train)
+class DNet64(DNetBase):
+    EXTRA_DOWN: int = 0
 
 
-class DNet256(nn.Module):
-    df_dim: int = 64
-    ef_dim: int = 128
-    b_condition: bool = True
-    dtype: Any = jnp.float32
-    axis_name: str | None = None
+class DNet128(DNetBase):
+    EXTRA_DOWN: int = 1
 
-    @nn.compact
-    def __call__(self, img, c=None, train: bool = True):
-        ndf = self.df_dim
-        code = _Encode16(ndf, self.dtype, self.axis_name)(img, train)
-        code = DownBlock(ndf * 16, True, self.dtype, self.axis_name)(code, train)
-        code = DownBlock(ndf * 32, True, self.dtype, self.axis_name)(code, train)
-        code = Block3x3LeakyReLU(ndf * 16, self.dtype, self.axis_name)(code, train)
-        code = Block3x3LeakyReLU(ndf * 8, self.dtype, self.axis_name)(code, train)
-        return _Logits(
-            ndf, self.ef_dim, self.b_condition, self.dtype, self.axis_name
-        )(code, c, train)
+
+class DNet256(DNetBase):
+    EXTRA_DOWN: int = 2
 
 
 _D_CLASSES = {64: DNet64, 128: DNet128, 256: DNet256}

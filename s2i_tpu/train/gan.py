@@ -1,0 +1,379 @@
+"""Alternating G/D conditional-GAN training as ONE jitted XLA program per
+step (reference: ``condGANTrainer.train`` in ``trainer.py``, SURVEY.md §3.3;
+TPU design per §7 step 4 and hard-part 1).
+
+Step semantics (matching the reference's order):
+  1. sample z and the CA condition once,
+  2. generate the multi-scale fakes with the current G,
+  3. update every D against (real, wrong-pair, stop-gradient(fake)) — the
+     three D parameter sets are disjoint, so one value_and_grad over the
+     tuple yields all per-D gradients in a single backward,
+  4. update G (+CA, + speech encoder in joint mode) against the *updated*
+     Ds: per-stage adversarial terms + KL + optional color consistency
+     (+ distillation regularizer in joint mode),
+  5. Polyak-average G params (StackGAN-v2's avg_param_G).
+
+RNG threading: the caller passes one base key; the step folds in the step
+counter, so resuming from a checkpoint reproduces the stream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from s2i_tpu.models import CANet, GNet, SpeechEncoder, build_discriminators
+from s2i_tpu.models.ca_net import kl_divergence
+from s2i_tpu.train import losses
+
+
+class GanModels(NamedTuple):
+    ca: CANet
+    g: GNet
+    ds: tuple
+    encoder: SpeechEncoder | None = None  # set in joint-finetune mode
+
+
+def build_models(
+    cfg, axis_name: str | None = None, joint: bool = False
+) -> GanModels:
+    dtype = jnp.dtype(cfg.DTYPE.COMPUTE)
+    ca = CANet(c_dim=int(cfg.GAN.EMBEDDING_DIM), dtype=dtype)
+    g = GNet(
+        gf_dim=int(cfg.GAN.GF_DIM),
+        branch_num=int(cfg.TREE.BRANCH_NUM),
+        num_res=int(cfg.GAN.R_NUM),
+        dtype=dtype,
+        axis_name=axis_name,
+    )
+    ds = tuple(
+        build_discriminators(
+            int(cfg.TREE.BRANCH_NUM),
+            int(cfg.GAN.DF_DIM),
+            int(cfg.GAN.EMBEDDING_DIM),
+            bool(cfg.GAN.B_CONDITION),
+            dtype,
+            axis_name,
+        )
+    )
+    encoder = None
+    if joint:
+        e = cfg.ENCODER
+        encoder = SpeechEncoder(
+            emb_dim=int(cfg.TEXT.DIMENSION),
+            conv_channels=tuple(e.CONV_CHANNELS),
+            conv_kernel=int(e.CONV_KERNEL),
+            conv_stride=int(e.CONV_STRIDE),
+            rnn_hidden=int(e.RNN_HIDDEN),
+            rnn_layers=int(e.RNN_LAYERS),
+            bidirectional=bool(e.BIDIRECTIONAL),
+            pool=str(e.POOL),
+            n_classes=0,
+            norm_out=bool(e.NORM_OUT),
+            dtype=dtype,
+        )
+    return GanModels(ca, g, ds, encoder)
+
+
+class GanTrainState(struct.PyTreeNode):
+    step: jax.Array
+    g_params: Any  # {'ca': ..., 'g': ..., ['enc': ...]} — one optimizer group
+    g_stats: Any  # {'g': batch_stats, ['enc': batch_stats]}
+    g_opt: Any
+    d_params: tuple
+    d_stats: tuple
+    d_opt: tuple
+    ema_g: Any  # Polyak copy of g_params['g'] + ['ca'] (None-like empty if off)
+
+
+def _adam(cfg, lr: float) -> optax.GradientTransformation:
+    return optax.adam(
+        lr, b1=float(cfg.TRAIN.ADAM_BETA1), b2=float(cfg.TRAIN.ADAM_BETA2)
+    )
+
+
+def init_state(cfg, models: GanModels, rng: jax.Array, batch: dict) -> GanTrainState:
+    """Initialize params/opt-states from one (host) example batch."""
+    r_ca, r_ca2, r_g, r_z, r_d, r_e = jax.random.split(rng, 6)
+    emb_dim = int(cfg.TEXT.DIMENSION)
+    b = batch["images"][0].shape[0]
+    emb = jnp.zeros((b, emb_dim), jnp.float32)
+
+    ca_vars = models.ca.init(r_ca, emb, r_ca2)
+    z = jnp.zeros((b, int(cfg.GAN.Z_DIM)), jnp.float32)
+    c = jnp.zeros((b, int(cfg.GAN.EMBEDDING_DIM)), jnp.float32)
+    g_vars = models.g.init(r_g, z, c)
+
+    g_params = {"ca": ca_vars["params"], "g": g_vars["params"]}
+    g_stats = {"g": g_vars["batch_stats"]}
+    if models.encoder is not None:
+        e_vars = models.encoder.init(r_e, batch["feats"], batch.get("feat_mask"))
+        g_params["enc"] = e_vars["params"]
+        g_stats["enc"] = e_vars["batch_stats"]
+
+    d_params, d_stats = [], []
+    for d, img in zip(models.ds, batch["images"]):
+        d_vars = d.init(r_d, img, c)
+        d_params.append(d_vars["params"])
+        d_stats.append(d_vars["batch_stats"])
+
+    g_opt = _adam(cfg, float(cfg.TRAIN.GENERATOR_LR)).init(g_params)
+    d_opts = [
+        _adam(cfg, float(cfg.TRAIN.DISCRIMINATOR_LR)).init(p) for p in d_params
+    ]
+    ema_decay = float(cfg.TRAIN.EMA_G)
+    ema = (
+        jax.tree.map(jnp.copy, {"ca": g_params["ca"], "g": g_params["g"]})
+        if ema_decay > 0
+        else {}
+    )
+    return GanTrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        g_stats=g_stats,
+        g_opt=g_opt,
+        d_params=tuple(d_params),
+        d_stats=tuple(d_stats),
+        d_opt=tuple(d_opts),
+        ema_g=ema,
+    )
+
+
+def make_train_step(
+    cfg, models: GanModels, axis_name: str | None = None
+) -> Callable:
+    """Build the (jittable) train step.
+
+    ``axis_name`` set ⇒ the step is meant to run inside shard_map over a
+    data mesh: gradients are psum-averaged over the axis before the
+    optimizer update (SURVEY.md §2 'Parallelism' row).
+
+    batch: {'images': tuple per scale [B,S,S,3],
+            'embedding': [B, emb_dim]}            (frozen-embedding mode)
+         + {'feats': [B,T,D], 'feat_mask': [B,T],
+            'teacher': [B, emb_dim]}              (joint mode; 'embedding'
+                                                   then unused)
+    """
+    uncond_coeff = float(cfg.TRAIN.COEFF.UNCOND_LOSS)
+    kl_coeff = float(cfg.TRAIN.COEFF.KL)
+    color_coeff = float(cfg.TRAIN.COEFF.COLOR_LOSS)
+    distill_coeff = float(cfg.TRAIN.COEFF.DISTILL)
+    b_condition = bool(cfg.GAN.B_CONDITION)
+    z_dim = int(cfg.GAN.Z_DIM)
+    ema_decay = float(cfg.TRAIN.EMA_G)
+    joint = models.encoder is not None
+    g_tx = _adam(cfg, float(cfg.TRAIN.GENERATOR_LR))
+    d_tx = _adam(cfg, float(cfg.TRAIN.DISCRIMINATOR_LR))
+
+    def psum_mean(tree):
+        if axis_name is None:
+            return tree
+        return jax.lax.pmean(tree, axis_name)
+
+    def train_step(state: GanTrainState, batch: dict, base_rng: jax.Array):
+        rng = jax.random.fold_in(base_rng, state.step)
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        rng_z, rng_ca = jax.random.split(rng)
+        b = batch["images"][0].shape[0]
+        z = jax.random.normal(rng_z, (b, z_dim), jnp.float32)
+
+        # ---- conditioning for the D phase (no grads) ----
+        if joint:
+            emb, _ = models.encoder.apply(
+                {
+                    "params": state.g_params["enc"],
+                    "batch_stats": state.g_stats["enc"],
+                },
+                batch["feats"],
+                batch.get("feat_mask"),
+                train=True,
+                mutable=["batch_stats"],
+            )
+        else:
+            emb = batch["embedding"]
+        emb_d = jax.lax.stop_gradient(emb)
+        c_d, mu_d, _ = models.ca.apply(
+            {"params": state.g_params["ca"]}, emb_d, rng_ca
+        )
+        cond_d = jax.lax.stop_gradient(mu_d)
+        cond_wrong = jnp.roll(cond_d, 1, axis=0)
+
+        fakes, _ = models.g.apply(
+            {"params": state.g_params["g"], "batch_stats": state.g_stats["g"]},
+            z,
+            jax.lax.stop_gradient(c_d),
+            mutable=["batch_stats"],
+        )
+        fakes_sg = [jax.lax.stop_gradient(f) for f in fakes]
+
+        # ---- D phase: one backward over the disjoint D param tuple ----
+        def d_loss_fn(d_params):
+            total = jnp.asarray(0.0, jnp.float32)
+            new_stats, mets = [], {}
+            for i, (d, dp, dst, real, fake) in enumerate(
+                zip(models.ds, d_params, state.d_stats, batch["images"], fakes_sg)
+            ):
+                logits, vars_new = d.apply(
+                    {"params": dp, "batch_stats": dst},
+                    real,
+                    fake,
+                    cond_d if b_condition else None,
+                    cond_wrong if b_condition else None,
+                    mutable=["batch_stats"],
+                    method="train_logits",
+                )
+                li, aux = losses.discriminator_loss(*logits, uncond_coeff)
+                total = total + li
+                new_stats.append(vars_new["batch_stats"])
+                mets[f"d{i}_loss"] = li
+                mets[f"d{i}_real_acc"] = aux["real_acc"]
+                mets[f"d{i}_fake_acc"] = aux["fake_acc"]
+            return total, (tuple(new_stats), mets)
+
+        (d_total, (d_stats_new, d_mets)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.d_params)
+        d_grads = psum_mean(d_grads)
+
+        d_params_new, d_opt_new = [], []
+        for dp, dg, do in zip(state.d_params, d_grads, state.d_opt):
+            upd, do2 = d_tx.update(dg, do, dp)
+            d_params_new.append(optax.apply_updates(dp, upd))
+            d_opt_new.append(do2)
+        d_params_new, d_opt_new = tuple(d_params_new), tuple(d_opt_new)
+
+        # ---- G phase against the UPDATED Ds (reference order) ----
+        def g_loss_fn(g_params):
+            mets = {}
+            new_stats = {}
+            if joint:
+                emb_g, enc_vars = models.encoder.apply(
+                    {
+                        "params": g_params["enc"],
+                        "batch_stats": state.g_stats["enc"],
+                    },
+                    batch["feats"],
+                    batch.get("feat_mask"),
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                new_stats["enc"] = enc_vars["batch_stats"]
+            else:
+                emb_g = batch["embedding"]
+            c, mu, logvar = models.ca.apply(
+                {"params": g_params["ca"]}, emb_g, rng_ca
+            )
+            fakes2, g_vars = models.g.apply(
+                {"params": g_params["g"], "batch_stats": state.g_stats["g"]},
+                z,
+                c,
+                mutable=["batch_stats"],
+            )
+            new_stats["g"] = g_vars["batch_stats"]
+
+            adv = jnp.asarray(0.0, jnp.float32)
+            for i, (d, dp, dst, fake) in enumerate(
+                zip(models.ds, d_params_new, d_stats_new, fakes2)
+            ):
+                (cond_f, uncond_f), _ = d.apply(
+                    {"params": dp, "batch_stats": dst},
+                    fake,
+                    mu if b_condition else None,
+                    mutable=["batch_stats"],
+                )
+                adv = adv + losses.generator_adversarial_loss(
+                    cond_f, uncond_f, uncond_coeff
+                )
+            kl = kl_divergence(mu, logvar)
+            total = adv + kl_coeff * kl
+            mets["g_adv"] = adv
+            mets["kl"] = kl
+            if color_coeff > 0 and len(fakes2) > 1:
+                closs = losses.color_consistency_loss(fakes2)
+                total = total + color_coeff * closs
+                mets["color"] = closs
+            if joint and distill_coeff > 0:
+                dloss, dmets = losses.distillation_loss(emb_g, batch["teacher"])
+                total = total + distill_coeff * dloss
+                mets["distill_mse"] = dmets["mse"]
+            mets["g_loss"] = total
+            return total, (new_stats, mets)
+
+        (g_total, (g_stats_new, g_mets)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params)
+        g_grads = psum_mean(g_grads)
+        g_upd, g_opt_new = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params_new = optax.apply_updates(state.g_params, g_upd)
+
+        # keep stats pytree complete in non-joint mode
+        if not joint and "enc" in state.g_stats:
+            g_stats_new["enc"] = state.g_stats["enc"]
+
+        if ema_decay > 0:
+            cur = {"ca": g_params_new["ca"], "g": g_params_new["g"]}
+            ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                state.ema_g,
+                cur,
+            )
+        else:
+            ema = state.ema_g
+
+        metrics = {
+            "d_loss": d_total,
+            **d_mets,
+            **g_mets,
+        }
+        metrics = {k: psum_mean(v) for k, v in metrics.items()}
+
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params_new,
+            g_stats=g_stats_new,
+            g_opt=g_opt_new,
+            d_params=d_params_new,
+            d_stats=tuple(d_stats_new),
+            d_opt=d_opt_new,
+            ema_g=ema,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_sample_fn(cfg, models: GanModels, use_ema: bool = True) -> Callable:
+    """Deterministic-per-seed sampling: (state, embedding, rng) → images.
+
+    Uses the Polyak-averaged G (reference snapshots load avg_param_G) and
+    eval-mode CA (c = μ) unless ``sample_z`` noise injection is requested via
+    the rng. Returns the list of per-stage images.
+    """
+    z_dim = int(cfg.GAN.Z_DIM)
+
+    def sample(state: GanTrainState, embedding: jax.Array, rng: jax.Array):
+        params = (
+            state.ema_g
+            if (use_ema and state.ema_g)
+            else {"ca": state.g_params["ca"], "g": state.g_params["g"]}
+        )
+        b = embedding.shape[0]
+        z = jax.random.normal(rng, (b, z_dim), jnp.float32)
+        c, _, _ = models.ca.apply(
+            {"params": params["ca"]}, embedding, train=False
+        )
+        imgs = models.g.apply(
+            {"params": params["g"], "batch_stats": state.g_stats["g"]},
+            z,
+            c,
+            train=False,
+        )
+        return imgs
+
+    return sample
