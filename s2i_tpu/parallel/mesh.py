@@ -1,0 +1,68 @@
+"""Data-parallel training over a device mesh.
+
+Replaces the reference's ``nn.parallel.data_parallel`` scatter/gather
+(reference ``trainer.py``, SURVEY.md §3.3 "DataParallel note") with the SPMD
+formulation: params replicated, batch sharded over the ``data`` axis,
+gradients pmean-ed inside the step (see ``make_train_step(axis_name=...)``),
+optimizer update executed redundantly per device. No hand-written comm —
+XLA emits the allreduce over ICI.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
+the same code spans slices (DCN for the cross-slice legs).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from s2i_tpu.train import gan
+
+
+def make_mesh(num_devices: int = 0, axis: str = "data") -> Mesh:
+    """1-D data mesh over the first ``num_devices`` devices (0 = all)."""
+    devs = jax.devices()
+    n = num_devices or len(devs)
+    return jax.make_mesh((n,), (axis,), devices=devs[:n])
+
+
+def replicate_state(state: Any, mesh: Mesh) -> Any:
+    """Place every leaf fully-replicated over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(state, sharding)
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Shard every leaf along its leading (batch) dimension."""
+    def put(x):
+        x = np.asarray(x)
+        if x.shape[0] % mesh.shape[axis]:
+            raise ValueError(
+                f"global batch {x.shape[0]} not divisible by mesh axis "
+                f"{axis}={mesh.shape[axis]}"
+            )
+        return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+    return jax.tree.map(put, batch)
+
+
+def make_parallel_train_step(
+    cfg, models: gan.GanModels, mesh: Mesh
+) -> Callable:
+    """jit(shard_map(train_step)): state replicated, batch sharded, rng
+    replicated. Each device draws its own z/CA noise (the step folds the
+    axis index into the rng), grads are pmean-ed before the update, so the
+    result is exactly a global-batch step."""
+    axis = str(cfg.MESH.DATA_AXIS)
+    step = gan.make_train_step(cfg, models, axis_name=axis)
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,101 @@
+"""Distributed-without-a-cluster tests (SURVEY.md §4): the same shard_map
+code path on the 8-device virtual CPU mesh. Checks pmean correctness on a
+closed-form case, replication invariants of the parallel GAN step, and
+bitwise determinism across runs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from s2i_tpu import config
+from s2i_tpu.data import SyntheticGanDataset
+from s2i_tpu.parallel import (
+    make_mesh,
+    make_parallel_train_step,
+    replicate_state,
+    shard_batch,
+)
+from s2i_tpu.train import gan
+
+
+def tiny_cfg():
+    c = config.default_cfg()
+    c.TREE.BRANCH_NUM = 2
+    c.GAN.GF_DIM = 8
+    c.GAN.DF_DIM = 8
+    c.GAN.Z_DIM = 16
+    c.GAN.EMBEDDING_DIM = 16
+    c.TEXT.DIMENSION = 32
+    c.DTYPE.COMPUTE = "float32"
+    return c
+
+
+def test_mesh_pmean_matches_global_mean():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    x = jnp.arange(32.0).reshape(32, 1)
+    xs = shard_batch(x, mesh)
+
+    f = jax.jit(
+        jax.shard_map(
+            lambda v: jax.lax.pmean(v.mean(), "data"),
+            mesh=mesh,
+            in_specs=P("data"),
+            out_specs=P(),
+        )
+    )
+    np.testing.assert_allclose(float(f(xs)), float(x.mean()), rtol=1e-6)
+
+
+def test_parallel_gan_step_runs_and_stays_replicated():
+    cfg = tiny_cfg()
+    mesh = make_mesh()
+    models = gan.build_models(cfg)
+    ds = SyntheticGanDataset(branch_num=2, emb_dim=32)
+    batch = {k: v for k, v in ds.batch(np.arange(16)).items() if k != "class_id"}
+    state = gan.init_state(cfg, models, jax.random.key(0), batch)
+    state = replicate_state(state, mesh)
+    sbatch = shard_batch(batch, mesh)
+    rng = replicate_state(jax.random.key(1), mesh)
+
+    pstep = make_parallel_train_step(cfg, models, mesh)
+    state2, mets = pstep(state, sbatch, rng)
+    assert int(state2.step) == 1
+    for k, v in mets.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+
+    # Params must remain identical on every device after the update
+    # (pmean-ed grads + redundant update = replication invariant).
+    leaf = jax.tree.leaves(state2.g_params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_parallel_step_deterministic():
+    cfg = tiny_cfg()
+    mesh = make_mesh()
+    models = gan.build_models(cfg)
+    ds = SyntheticGanDataset(branch_num=2, emb_dim=32)
+    batch = {k: v for k, v in ds.batch(np.arange(16)).items() if k != "class_id"}
+
+    def run():
+        state = gan.init_state(cfg, models, jax.random.key(0), batch)
+        state = replicate_state(state, mesh)
+        sbatch = shard_batch(batch, mesh)
+        pstep = make_parallel_train_step(cfg, models, mesh)
+        for _ in range(2):
+            state, mets = pstep(state, sbatch, jax.random.key(1))
+        return jax.tree.leaves(state.g_params)[0]
+
+    a, b = run(), run()
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_shard_batch_rejects_indivisible():
+    mesh = make_mesh()
+    import pytest
+
+    with pytest.raises(ValueError):
+        shard_batch(np.zeros((10, 3)), mesh)
