@@ -1,0 +1,58 @@
+"""Checkpoint/resume via Orbax (SURVEY.md §5 "Checkpoint / resume").
+
+The reference ``torch.save``s netG/netDs every SNAPSHOT_INTERVAL and resumes
+from cfg paths; the TPU-native contract is stronger: atomic checkpoints of
+the FULL train state (params + optimizer states + BN stats + EMA + step),
+keep-N retention, and restore-latest for crash auto-resume.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin wrapper over ocp.CheckpointManager for one state namespace."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state: Any, force: bool = False) -> bool:
+        saved = self._mgr.save(
+            step, args=ocp.args.StandardSave(state), force=force
+        )
+        return bool(saved)
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    @property
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore_latest(self, abstract_state: Any) -> tuple[Any, int] | None:
+        """Restore the newest checkpoint into the structure of
+        ``abstract_state`` (a concrete state works as the template).
+        Returns (state, step) or None if the directory is empty."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        template = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        return restored, step
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -1,0 +1,59 @@
+"""Scalar logging + profiling hooks (SURVEY.md §5 "Metrics / logging" and
+"Tracing / profiling").
+
+JSONL is the primary sink (greppable, no deps); TensorBoard event files are
+written too when TensorFlow is importable. ``profile_steps`` wraps a step
+range in a ``jax.profiler`` trace for Perfetto/XProf inspection.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from typing import Any, Iterator
+
+
+class ScalarLogger:
+    def __init__(self, run_dir: str, use_tensorboard: bool = False):
+        os.makedirs(run_dir, exist_ok=True)
+        self._f = open(os.path.join(run_dir, "scalars.jsonl"), "a", buffering=1)
+        self._tb = None
+        if use_tensorboard:
+            try:
+                import tensorflow as tf
+
+                self._tb = tf.summary.create_file_writer(
+                    os.path.join(run_dir, "tb")
+                )
+            except Exception:
+                self._tb = None
+
+    def log(self, step: int, scalars: dict[str, Any]) -> None:
+        rec = {"step": int(step), "time": time.time()}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        self._f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in scalars.items():
+                    tf.summary.scalar(k, float(v), step=int(step))
+
+    def close(self) -> None:
+        self._f.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+@contextlib.contextmanager
+def profile_steps(log_dir: str) -> Iterator[None]:
+    """jax.profiler trace around a block (view with XProf/Perfetto)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,101 @@
+"""Metric-plumbing tests with stub classifiers (SURVEY.md §4 "Eval"):
+FID(X,X)=0, IS of uniform logits = 1, retrieval on identical sets = perfect.
+The Inception pass itself is exercised at tiny batch on random weights."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from s2i_tpu.eval import (
+    fid_from_stats,
+    gaussian_stats,
+    inception_score_from_probs,
+    retrieval_metrics,
+)
+
+
+def test_fid_identical_sets_is_zero():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(500, 16))
+    mu, sig = gaussian_stats(x)
+    assert fid_from_stats(mu, sig, mu, sig) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_fid_shifted_gaussian_matches_closed_form():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(20000, 8))
+    y = x + 2.0  # same covariance, shifted mean: FID = ||Δμ||² = 8·4
+    f = fid_from_stats(*gaussian_stats(x), *gaussian_stats(y))
+    assert f == pytest.approx(32.0, rel=0.01)
+
+
+def test_fid_detects_scale_difference():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(20000, 8))
+    y = 2.0 * rng.normal(size=(20000, 8))
+    # closed form for isotropic: d(tr(1) + tr(4) - 2 tr(sqrt(4·I))) = 8(1+4-4)
+    f = fid_from_stats(*gaussian_stats(x), *gaussian_stats(y))
+    assert f == pytest.approx(8.0, rel=0.05)
+
+
+def test_is_uniform_is_one_and_confident_is_high():
+    n, c = 1000, 10
+    uniform = np.full((n, c), 1.0 / c)
+    mean, std = inception_score_from_probs(uniform, splits=10)
+    assert mean == pytest.approx(1.0, abs=1e-6)
+    # one-hot over evenly used classes: IS == number of classes
+    onehot = np.eye(c)[np.arange(n) % c]
+    mean2, _ = inception_score_from_probs(onehot, splits=10)
+    assert mean2 == pytest.approx(c, rel=1e-3)
+
+
+def test_retrieval_perfect_and_random():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(50, 32))
+    m = retrieval_metrics(x, x)
+    assert m["q2t"]["r@1"] == 1.0 and m["t2q"]["r@1"] == 1.0
+    y = rng.normal(size=(50, 32))
+    m2 = retrieval_metrics(x, y)
+    assert m2["q2t"]["r@1"] < 0.5
+
+
+def test_inception_forward_and_metrics_smoke():
+    from s2i_tpu.eval import InceptionFeatures, fid_score, inception_score
+
+    ex = InceptionFeatures(num_classes=16, image_size=75)
+    rng = np.random.default_rng(0)
+    imgs_a = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    imgs_b = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    pool, logits = ex.extract(imgs_a, batch_size=4)
+    assert pool.shape == (8, 2048) and logits.shape == (8, 16)
+    assert np.isfinite(pool).all() and np.isfinite(logits).all()
+    f_same = fid_score(imgs_a, imgs_a, ex, batch_size=4)
+    f_diff = fid_score(imgs_a, imgs_b, ex, batch_size=4)
+    assert f_same == pytest.approx(0.0, abs=1e-3)
+    assert f_diff >= 0
+    mean, std = inception_score(imgs_a, ex, splits=2, batch_size=4)
+    assert mean >= 1.0 and np.isfinite(std)
+
+
+def test_torch_weight_mapper_shapes():
+    from s2i_tpu.eval.weights import load_torch_inception
+
+    sd = {
+        "Conv2d_1a_3x3.conv.weight": np.zeros((32, 3, 3, 3), np.float32),
+        "Conv2d_1a_3x3.bn.weight": np.ones((32,), np.float32),
+        "Conv2d_1a_3x3.bn.bias": np.zeros((32,), np.float32),
+        "Conv2d_1a_3x3.bn.running_mean": np.zeros((32,), np.float32),
+        "Conv2d_1a_3x3.bn.running_var": np.ones((32,), np.float32),
+        "Conv2d_1a_3x3.bn.num_batches_tracked": np.zeros((), np.int64),
+        "Mixed_5b.branch5x5_1.conv.weight": np.zeros((48, 192, 1, 1), np.float32),
+        "fc.weight": np.zeros((1000, 2048), np.float32),
+        "fc.bias": np.zeros((1000,), np.float32),
+        "AuxLogits.conv0.conv.weight": np.zeros((128, 768, 1, 1), np.float32),
+    }
+    out = load_torch_inception(sd)
+    p, s = out["params"], out["batch_stats"]
+    assert p["Conv2d_1a_3x3"]["conv"]["kernel"].shape == (3, 3, 3, 32)
+    assert s["Conv2d_1a_3x3"]["bn"]["mean"].shape == (32,)
+    assert p["Mixed_5b"]["branch5x5_1"]["conv"]["kernel"].shape == (1, 1, 192, 48)
+    assert p["fc"]["kernel"].shape == (2048, 1000)
+    assert "AuxLogits" not in p
