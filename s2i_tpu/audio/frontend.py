@@ -187,6 +187,15 @@ def crop_or_pad_frames(
     return out, mask
 
 
+def frames_valid_mask(
+    wav_len: jax.Array, p: FrontendParams, max_frames: int
+) -> jax.Array:
+    """Valid-frame mask [B, max_frames] from per-utterance sample counts —
+    frame i is real iff its window fits inside the unpadded signal."""
+    idx = jnp.arange(max_frames)
+    return idx[None, :] * p.hop_length + p.win_length <= wav_len[:, None]
+
+
 def normalize_features(
     feats: jax.Array, mask: jax.Array | None = None, eps: float = 1e-8
 ) -> jax.Array:
@@ -212,13 +221,18 @@ def normalize_features(
 
 
 def extract_features(
-    wav: jax.Array, p: FrontendParams, use_pallas: bool = False
+    wav: jax.Array,
+    p: FrontendParams,
+    use_pallas: bool = False,
+    wav_len: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Full L0 pipeline: wav [B, n_samples] → ([B, max_frames, D], mask).
 
     ``use_pallas=True`` routes the spectrogram computation through the fused
     TPU kernel (s2i_tpu.ops.mel_kernel); the jnp path is the correctness
-    reference and the CPU/testing fallback.
+    reference and the CPU/testing fallback. ``wav_len`` (per-utterance sample
+    counts for zero-padded batches) tightens the validity mask so padding
+    frames are excluded from normalization and downstream pooling.
     """
     if use_pallas:
         from s2i_tpu.ops import mel_kernel
@@ -229,6 +243,8 @@ def extract_features(
     else:
         feats = mfcc_jnp(wav, p) if p.feature == "mfcc" else logmel_jnp(wav, p)
     feats, mask = crop_or_pad_frames(feats, p.max_frames)
+    if wav_len is not None:
+        mask = mask & frames_valid_mask(wav_len, p, p.max_frames)
     if p.normalize == "utterance":
         feats = normalize_features(feats, mask)
     return feats, mask

@@ -1,0 +1,331 @@
+"""CLI plumbing shared by ``main.py`` and ``scripts/*`` (SURVEY.md §1 L4;
+reference ``main.py`` argparse + ``cfg/*.yml``): config resolution, run-dir
+setup, dataset/batch-factory construction, and the train/sample/pretrain/
+extract drivers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+
+import numpy as np
+
+from s2i_tpu import config
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--cfg", dest="cfg_file", default=None, help="YAML config")
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--output_dir", default=None)
+    p.add_argument("--manualSeed", type=int, default=None)
+    p.add_argument(
+        "--gpu", dest="gpu_id", default=None, help="parity flag; ignored on TPU"
+    )
+    p.add_argument(
+        "--set",
+        dest="overrides",
+        nargs="*",
+        default=[],
+        metavar="KEY=VAL",
+        help="config overrides, e.g. TRAIN.BATCH_SIZE=32",
+    )
+    return p
+
+
+def resolve_cfg(args) -> config.AttrDict:
+    cfg = (
+        config.cfg_from_file(args.cfg_file)
+        if args.cfg_file
+        else config.default_cfg()
+    )
+    if args.data_dir:
+        cfg.DATA_DIR = args.data_dir
+    if args.output_dir:
+        cfg.OUTPUT_DIR = args.output_dir
+    if args.manualSeed is not None:
+        cfg.SEED = args.manualSeed
+    if args.overrides:
+        config.apply_overrides(cfg, args.overrides)
+    return cfg
+
+
+def make_run_dir(cfg, tag: str) -> str:
+    """Timestamped output tree like the reference's output/<name>_<time>."""
+    stamp = datetime.datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+    run_dir = os.path.join(
+        cfg.OUTPUT_DIR, f"{cfg.DATASET_NAME}_{cfg.CONFIG_NAME}_{tag}_{stamp}"
+    )
+    os.makedirs(run_dir, exist_ok=True)
+    config.dump_cfg(cfg, os.path.join(run_dir, "config.yml"))
+    return run_dir
+
+
+def make_mesh_if_configured(cfg):
+    import jax
+
+    from s2i_tpu.parallel import make_mesh
+
+    n = int(cfg.MESH.NUM_DEVICES)
+    if n == 0 and len(jax.devices()) == 1:
+        return None  # single chip: plain jit, no shard_map overhead
+    return make_mesh(n, str(cfg.MESH.DATA_AXIS))
+
+
+def gan_batch_factory(cfg):
+    """Returns callable(epoch) → iterator of GAN batch dicts."""
+    if cfg.DATASET_NAME == "synthetic":
+        from s2i_tpu.data import SyntheticGanDataset
+
+        ds = SyntheticGanDataset(
+            branch_num=int(cfg.TREE.BRANCH_NUM),
+            base_size=int(cfg.TREE.BASE_SIZE),
+            emb_dim=int(cfg.TEXT.DIMENSION),
+            seed=int(cfg.SEED),
+        )
+        steps = max(1, ds.n // int(cfg.TRAIN.BATCH_SIZE))
+
+        def factory(epoch: int):
+            return ds.batches(
+                int(cfg.TRAIN.BATCH_SIZE), steps, seed=int(cfg.SEED) + epoch
+            )
+
+        return factory
+
+    from s2i_tpu.data.stackgan import GanEpochIterator, StackGanSplit
+
+    split = StackGanSplit(
+        cfg.DATA_DIR, "train", embedding_file=str(cfg.TEXT.EMBEDDING_FILE)
+    )
+
+    def factory(epoch: int):
+        return GanEpochIterator(
+            split,
+            int(cfg.TRAIN.BATCH_SIZE),
+            int(cfg.TREE.BRANCH_NUM),
+            int(cfg.TREE.BASE_SIZE),
+            seed=int(cfg.SEED) + epoch,
+        )
+
+    return factory
+
+
+def run_gan_training(cfg, max_epoch: int | None = None) -> dict:
+    from s2i_tpu.train.loop import GanTrainer
+
+    run_dir = make_run_dir(cfg, "train")
+    trainer = GanTrainer(
+        cfg, run_dir, gan_batch_factory(cfg), mesh=make_mesh_if_configured(cfg)
+    )
+    try:
+        mets = trainer.train(max_epoch)
+    finally:
+        trainer.close()
+    print(f"run dir: {run_dir}")
+    return mets
+
+
+def run_sampling(cfg) -> str:
+    """Reference B_VALIDATION path (SURVEY.md §3.4): test-split embeddings →
+    PNG tree."""
+    from s2i_tpu.train.loop import GanTrainer
+
+    run_dir = make_run_dir(cfg, "sample")
+    if cfg.DATASET_NAME == "synthetic":
+        from s2i_tpu.data import SyntheticGanDataset
+
+        ds = SyntheticGanDataset(
+            branch_num=int(cfg.TREE.BRANCH_NUM),
+            base_size=int(cfg.TREE.BASE_SIZE),
+            emb_dim=int(cfg.TEXT.DIMENSION),
+            seed=int(cfg.SEED) + 999,
+        )
+        emb, names = ds.embeddings, None
+    else:
+        from s2i_tpu.data.stackgan import StackGanSplit
+
+        split = StackGanSplit(
+            cfg.DATA_DIR, "test", embedding_file=str(cfg.TEXT.EMBEDDING_FILE)
+        )
+        emb = split.embeddings[:, 0]
+        names = [f.replace("/", "_") for f in split.filenames]
+
+    trainer = GanTrainer(cfg, run_dir, gan_batch_factory(cfg))
+    try:
+        # restore G from cfg.TRAIN.NET_G if given (dir of orbax ckpts)
+        if cfg.TRAIN.NET_G:
+            from s2i_tpu.utils import CheckpointManager
+
+            mgr = CheckpointManager(cfg.TRAIN.NET_G)
+            restored = mgr.restore_latest(trainer.state)
+            if restored is None:
+                raise FileNotFoundError(
+                    f"no checkpoint under {cfg.TRAIN.NET_G}"
+                )
+            trainer.state = restored[0]
+            mgr.close()
+        out_dir = os.path.join(run_dir, "samples")
+        trainer.sample_to_dir(
+            np.asarray(emb, np.float32),
+            out_dir,
+            names,
+            samples_per_emb=int(cfg.EVAL.NUM_SAMPLES_PER_EMB),
+            seed=int(cfg.SEED),
+        )
+    finally:
+        trainer.close()
+    print(f"samples: {out_dir}")
+    return out_dir
+
+
+def speech_batch_factory(cfg, use_pallas: bool = True):
+    """Encoder-pretrain batches: on-device mel frontend over wav buffers
+    (real data) or precomputed synthetic features."""
+    if cfg.DATASET_NAME == "synthetic":
+        from s2i_tpu.data import SyntheticSpeechDataset
+
+        ds = SyntheticSpeechDataset(
+            num_classes=int(cfg.ENCODER.N_CLASSES),
+            max_frames=int(cfg.AUDIO.MAX_FRAMES),
+            n_mels=int(cfg.AUDIO.N_MELS),
+            emb_dim=int(cfg.TEXT.DIMENSION),
+            seed=int(cfg.SEED),
+        )
+        steps = max(1, ds.n // int(cfg.ENCODER.BATCH_SIZE))
+
+        def factory(epoch: int):
+            return ds.batches(
+                int(cfg.ENCODER.BATCH_SIZE), steps, seed=int(cfg.SEED) + epoch
+            )
+
+        return factory
+
+    import jax.numpy as jnp
+
+    from s2i_tpu.audio import extract_features, frontend_params_from_cfg
+    from s2i_tpu.data.stackgan import SpeechEpochIterator, StackGanSplit
+
+    p = frontend_params_from_cfg(cfg.AUDIO)
+    split = StackGanSplit(cfg.DATA_DIR, "train")
+    max_samples = (p.max_frames - 1) * p.hop_length + p.win_length
+
+    def featurize(raw: dict) -> dict:
+        feats, mask = extract_features(
+            jnp.asarray(raw["wav"]),
+            p,
+            use_pallas=use_pallas,
+            wav_len=jnp.asarray(raw["wav_len"]),
+        )
+        return {
+            "feats": feats,
+            "feat_mask": mask,
+            "teacher": raw["teacher"],
+            "class_id": raw["class_id"],
+        }
+
+    def factory(epoch: int):
+        it = SpeechEpochIterator(
+            split,
+            int(cfg.ENCODER.BATCH_SIZE),
+            p.sample_rate,
+            max_samples,
+            seed=int(cfg.SEED) + epoch,
+        )
+        return (featurize(b) for b in it)
+
+    return factory
+
+
+def run_encoder_pretrain(cfg, epochs: int | None = None) -> dict:
+    import jax
+
+    from s2i_tpu.train import encoder as enc_train
+    from s2i_tpu.utils import CheckpointManager, ScalarLogger
+
+    run_dir = make_run_dir(cfg, "encoder")
+    model = enc_train.build_encoder(cfg)
+    factory = speech_batch_factory(cfg)
+    first = next(iter(factory(0)))
+    state = enc_train.init_encoder_state(
+        cfg, model, jax.random.key(int(cfg.SEED)), first
+    )
+    ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+    restored = ckpt.restore_latest(state)
+    if restored is not None:
+        state, step0 = restored
+        print(f"resumed from step {step0}")
+    logger = ScalarLogger(run_dir)
+    step_fn = jax.jit(enc_train.make_encoder_train_step(cfg, model))
+    mets = {}
+    for epoch in range(epochs or int(cfg.ENCODER.EPOCHS)):
+        for batch in factory(epoch):
+            state, mets = step_fn(state, batch, jax.random.key(0))
+        logger.log(int(state.step), {k: float(v) for k, v in mets.items()})
+        ckpt.save(int(state.step), state)
+    ckpt.wait()
+    ckpt.close()
+    logger.close()
+    print(f"run dir: {run_dir}")
+    return {k: float(v) for k, v in mets.items()}
+
+
+def run_embedding_extraction(cfg, encoder_ckpt: str, out_path: str) -> None:
+    """SURVEY.md §3.2: run the trained encoder over ALL captions of both
+    splits and dump speech-embedding pickles the GAN datasets consume."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from s2i_tpu.audio import extract_features, frontend_params_from_cfg
+    from s2i_tpu.data.stackgan import StackGanSplit
+    from s2i_tpu.train import encoder as enc_train
+    from s2i_tpu.utils import CheckpointManager
+
+    p = frontend_params_from_cfg(cfg.AUDIO)
+    model = enc_train.build_encoder(cfg)
+    max_samples = (p.max_frames - 1) * p.hop_length + p.win_length
+
+    # template state for restore
+    dummy = {
+        "feats": np.zeros((1, p.max_frames, p.n_features), np.float32),
+        "feat_mask": np.ones((1, p.max_frames), bool),
+    }
+    state = enc_train.init_encoder_state(cfg, model, jax.random.key(0), dummy)
+    mgr = CheckpointManager(encoder_ckpt)
+    restored = mgr.restore_latest(state)
+    if restored is None:
+        raise FileNotFoundError(f"no encoder checkpoint under {encoder_ckpt}")
+    state = restored[0]
+    mgr.close()
+    extract = enc_train.make_extract_fn(model)
+
+    for split_name in ("train", "test"):
+        split = StackGanSplit(cfg.DATA_DIR, split_name)
+        caps = split.captions_per_image
+        out = np.zeros(
+            (len(split), caps, int(cfg.TEXT.DIMENSION)), np.float32
+        )
+        bs = int(cfg.ENCODER.BATCH_SIZE)
+        flat = [(i, c) for i in range(len(split)) for c in range(caps)]
+        for start in range(0, len(flat), bs):
+            chunk = flat[start : start + bs]
+            wavs = np.zeros((bs, max_samples), np.float32)
+            lens = np.zeros(bs, np.int32)
+            for j, (i, c) in enumerate(chunk):
+                x = split.load_wav(i, c, p.sample_rate)
+                m = min(len(x), max_samples)
+                wavs[j, :m] = x[:m]
+                lens[j] = m
+            feats, mask = extract_features(
+                jnp.asarray(wavs), p, use_pallas=True, wav_len=jnp.asarray(lens)
+            )
+            emb = np.asarray(extract(state, feats, mask))
+            for j, (i, c) in enumerate(chunk):
+                out[i, c] = emb[j]
+        dst = os.path.join(cfg.DATA_DIR, split_name, out_path)
+        with open(dst, "wb") as f:
+            pickle.dump(out, f)
+        print(f"wrote {dst}: {out.shape}")

@@ -107,6 +107,10 @@ def default_cfg() -> AttrDict:
                 # Teacher (char-CNN-RNN) embedding dim == speech-encoder output.
                 "DIMENSION": 1024,
                 "CAPTIONS_PER_IMAGE": 10,
+                # Which per-split embedding pickle conditions the GAN:
+                # the teacher text embeddings (StackGAN distribution) or our
+                # extracted speech embeddings (the paper's headline setting).
+                "EMBEDDING_FILE": "char-CNN-RNN-embeddings.pickle",
             },
             "AUDIO": {
                 # SURVEY.md §2 row 1: paper-style frontend, all [?]-grade

@@ -1,0 +1,267 @@
+"""CUB-200 / Oxford-102 loaders in the StackGAN on-disk layout (SURVEY.md §2
+rows "Teacher embeddings"/"Speech caption corpus"; reference ``datasets.py``
+``TextDataset`` adapted to speech + the speech dataset in ``audio_encoder/``).
+
+Expected tree (StackGAN distribution convention):
+
+    data_dir/
+      train/ | test/
+        char-CNN-RNN-embeddings.pickle   # [N_img][cap][1024] teacher embs
+        filenames.pickle                 # [N_img] relative ids
+        class_info.pickle                # [N_img] class ids
+        speech-embeddings.pickle         # (ours) extracted speech embeddings
+      images/<id>.jpg                    # CUB: CUB_200_2011/images/... also ok
+      CUB_200_2011/bounding_boxes.txt + images.txt   # optional bbox crop
+      audio/<id>/<k>.wav                 # synthesized speech captions
+
+Image protocol (StackGAN lineage): optional bbox crop with 1.5× margin (CUB),
+resize to 76/64·imsize, random crop to imsize, random horizontal flip; the
+multi-scale pyramid is produced by area-resizing the largest scale.
+
+Everything here is host-side numpy/PIL; it is exercised by tests against a
+synthesized on-disk fixture and by real assets when present.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+from s2i_tpu.audio.wavio import read_wav, resample_linear
+
+
+def _load_pickle(path: str):
+    with open(path, "rb") as f:
+        try:
+            return pickle.load(f)
+        except UnicodeDecodeError:
+            f.seek(0)
+            return pickle.load(f, encoding="latin1")  # py2-era StackGAN pickles
+
+
+def load_bboxes(data_dir: str) -> dict[str, tuple[float, float, float, float]] | None:
+    """CUB bounding boxes keyed by filename-id (without extension)."""
+    bbox_path = os.path.join(data_dir, "CUB_200_2011", "bounding_boxes.txt")
+    images_path = os.path.join(data_dir, "CUB_200_2011", "images.txt")
+    if not (os.path.exists(bbox_path) and os.path.exists(images_path)):
+        return None
+    id_to_name = {}
+    with open(images_path) as f:
+        for line in f:
+            i, name = line.split()
+            id_to_name[i] = os.path.splitext(name)[0]
+    out = {}
+    with open(bbox_path) as f:
+        for line in f:
+            i, x, y, w, h = line.split()
+            out[id_to_name[i]] = (float(x), float(y), float(w), float(h))
+    return out
+
+
+class StackGanSplit:
+    """One split (train/test) of the StackGAN layout."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        split: str = "train",
+        embedding_file: str = "char-CNN-RNN-embeddings.pickle",
+    ):
+        self.data_dir = data_dir
+        self.split_dir = os.path.join(data_dir, split)
+        self.filenames: list[str] = list(
+            _load_pickle(os.path.join(self.split_dir, "filenames.pickle"))
+        )
+        emb = _load_pickle(os.path.join(self.split_dir, embedding_file))
+        self.embeddings = np.asarray(emb, dtype=np.float32)  # [N, cap, D]
+        if self.embeddings.ndim == 2:
+            self.embeddings = self.embeddings[:, None, :]
+        cls_path = os.path.join(self.split_dir, "class_info.pickle")
+        if os.path.exists(cls_path):
+            self.class_id = np.asarray(_load_pickle(cls_path), dtype=np.int64)
+        else:
+            self.class_id = np.zeros(len(self.filenames), dtype=np.int64)
+        self.bboxes = load_bboxes(data_dir)
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    @property
+    def captions_per_image(self) -> int:
+        return self.embeddings.shape[1]
+
+    def image_path(self, i: int) -> str:
+        for sub in ("images", os.path.join("CUB_200_2011", "images"), "jpg"):
+            for ext in (".jpg", ".jpeg", ".png"):
+                p = os.path.join(self.data_dir, sub, self.filenames[i] + ext)
+                if os.path.exists(p):
+                    return p
+        raise FileNotFoundError(
+            f"no image for {self.filenames[i]!r} under {self.data_dir}"
+        )
+
+    def wav_path(self, i: int, cap: int) -> str:
+        base = os.path.join(self.data_dir, "audio", self.filenames[i])
+        for name in (f"{cap}.wav", f"{cap:d}.wav"):
+            p = os.path.join(base, name)
+            if os.path.exists(p):
+                return p
+        raise FileNotFoundError(f"no wav {cap} for {self.filenames[i]!r}")
+
+    def load_image(
+        self,
+        i: int,
+        imsize: int,
+        rng: np.random.Generator | None = None,
+        flip_and_crop: bool = True,
+    ) -> np.ndarray:
+        """[-1,1] float32 [imsize, imsize, 3] with the StackGAN transform."""
+        from PIL import Image
+
+        img = Image.open(self.image_path(i)).convert("RGB")
+        if self.bboxes is not None:
+            key = self.filenames[i]
+            if key in self.bboxes:
+                x, y, w, h = self.bboxes[key]
+                cx, cy = x + w / 2.0, y + h / 2.0
+                r = int(np.maximum(w, h) * 0.75)  # 1.5× margin half-width
+                x1 = max(0, int(cx - r))
+                y1 = max(0, int(cy - r))
+                x2 = min(img.width, int(cx + r))
+                y2 = min(img.height, int(cy + r))
+                img = img.crop((x1, y1, x2, y2))
+        load_size = int(imsize * 76 / 64)
+        img = img.resize((load_size, load_size), Image.BILINEAR)
+        arr = np.asarray(img, dtype=np.float32) / 127.5 - 1.0
+        if flip_and_crop and rng is not None:
+            ox = int(rng.integers(0, load_size - imsize + 1))
+            oy = int(rng.integers(0, load_size - imsize + 1))
+            arr = arr[oy : oy + imsize, ox : ox + imsize]
+            if rng.random() < 0.5:
+                arr = arr[:, ::-1]
+        else:
+            off = (load_size - imsize) // 2
+            arr = arr[off : off + imsize, off : off + imsize]
+        return np.ascontiguousarray(arr)
+
+    def load_wav(self, i: int, cap: int, sample_rate: int) -> np.ndarray:
+        x, sr = read_wav(self.wav_path(i, cap))
+        return resample_linear(x, sr, sample_rate)
+
+
+def multiscale(img: np.ndarray, branch_num: int, base_size: int = 64) -> list[np.ndarray]:
+    """Largest-scale [-1,1] image → list of [S,S,3] for S = base·2^i by
+    area-pooling (top scale must be base·2^(branch_num-1))."""
+    top = base_size * 2 ** (branch_num - 1)
+    assert img.shape[0] == top, (img.shape, top)
+    out = []
+    for i in range(branch_num):
+        f = 2 ** (branch_num - 1 - i)
+        if f == 1:
+            out.append(img.astype(np.float32))
+        else:
+            h = img.shape[0] // f
+            out.append(
+                img.reshape(h, f, h, f, 3).mean(axis=(1, 3)).astype(np.float32)
+            )
+    return out
+
+
+class SpeechEpochIterator:
+    """Shuffled epoch batches for encoder pretraining: fixed-length raw wav
+    buffers + per-utterance lengths + teacher embeddings + class ids. The
+    mel frontend runs ON DEVICE (Pallas) downstream — the TPU-native
+    inversion of the reference's host-side librosa loop (SURVEY.md §3.1
+    hot loop #1)."""
+
+    def __init__(
+        self,
+        split: StackGanSplit,
+        batch_size: int,
+        sample_rate: int,
+        max_samples: int,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.split = split
+        self.batch_size = batch_size
+        self.sample_rate = sample_rate
+        self.max_samples = max_samples
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+
+    def __iter__(self):
+        n = len(self.split)
+        caps = self.split.captions_per_image
+        order = self.rng.permutation(n * caps)
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if len(idx) < self.batch_size and self.drop_last:
+                return
+            wavs = np.zeros((len(idx), self.max_samples), np.float32)
+            lens = np.zeros(len(idx), np.int32)
+            for j, flat in enumerate(idx):
+                i, cap = divmod(int(flat), caps)
+                x = self.split.load_wav(i, cap, self.sample_rate)
+                m = min(len(x), self.max_samples)
+                wavs[j, :m] = x[:m]
+                lens[j] = m
+            img_idx = idx // caps
+            cap_idx = idx % caps
+            yield {
+                "wav": wavs,
+                "wav_len": lens,
+                "teacher": self.split.embeddings[img_idx, cap_idx].astype(
+                    np.float32
+                ),
+                "class_id": self.split.class_id[img_idx],
+            }
+
+
+class GanEpochIterator:
+    """Shuffled epoch batches for GAN training from a StackGanSplit.
+
+    Each example picks one of the caption embeddings at random (reference
+    TextDataset behavior). Yields the trainer's batch dict.
+    """
+
+    def __init__(
+        self,
+        split: StackGanSplit,
+        batch_size: int,
+        branch_num: int,
+        base_size: int = 64,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.split = split
+        self.batch_size = batch_size
+        self.branch_num = branch_num
+        self.base_size = base_size
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+
+    def __iter__(self):
+        n = len(self.split)
+        order = self.rng.permutation(n)
+        top = self.base_size * 2 ** (self.branch_num - 1)
+        for start in range(0, n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if len(idx) < self.batch_size and self.drop_last:
+                return
+            imgs = np.stack(
+                [self.split.load_image(i, top, self.rng) for i in idx]
+            )
+            scales = [
+                np.stack(x)
+                for x in zip(*[multiscale(im, self.branch_num, self.base_size) for im in imgs])
+            ]
+            cap = self.rng.integers(0, self.split.captions_per_image, len(idx))
+            emb = self.split.embeddings[idx, cap]
+            yield {
+                "images": tuple(scales),
+                "embedding": emb.astype(np.float32),
+                "class_id": self.split.class_id[idx],
+            }

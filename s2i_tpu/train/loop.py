@@ -1,0 +1,152 @@
+"""High-level training driver — the ``condGANTrainer`` equivalent
+(reference ``trainer.py`` + ``main.py`` wiring, SURVEY.md §3.3): owns the
+models, train state, checkpoint manager, scalar logger, snapshot grids, and
+the epoch loop; delegates the per-step math to the jitted step from
+``s2i_tpu.train.gan`` (optionally shard_map-ed over a data mesh).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Iterable
+
+import jax
+import numpy as np
+
+from s2i_tpu.parallel import (
+    make_parallel_train_step,
+    replicate_state,
+    shard_batch,
+)
+from s2i_tpu.train import gan
+from s2i_tpu.utils import CheckpointManager, ScalarLogger, save_image_grid
+
+
+class GanTrainer:
+    def __init__(
+        self,
+        cfg,
+        output_dir: str,
+        batch_factory: Callable[[int], Iterable[dict]],
+        mesh=None,
+        log_every: int = 20,
+        image_every: int = 500,
+    ):
+        self.cfg = cfg
+        self.output_dir = output_dir
+        self.batch_factory = batch_factory
+        self.mesh = mesh
+        self.log_every = log_every
+        self.image_every = image_every
+        joint = bool(cfg.TRAIN.JOINT_FT)
+        self.models = gan.build_models(
+            cfg,
+            axis_name=str(cfg.MESH.DATA_AXIS) if mesh is not None else None,
+            joint=joint,
+        )
+
+        os.makedirs(output_dir, exist_ok=True)
+        self.ckpt = CheckpointManager(os.path.join(output_dir, "ckpt"))
+        self.logger = ScalarLogger(output_dir)
+
+        first = next(iter(batch_factory(0)))
+        self._viz_batch = first
+        state = gan.init_state(
+            cfg, self.models, jax.random.key(int(cfg.SEED)), first
+        )
+        restored = self.ckpt.restore_latest(state)
+        if restored is not None:
+            state, step = restored
+            print(f"resumed from step {step}")
+        if mesh is not None:
+            state = replicate_state(state, mesh)
+            self.step_fn = make_parallel_train_step(cfg, self.models, mesh)
+        else:
+            self.step_fn = jax.jit(gan.make_train_step(cfg, self.models))
+        self.state = state
+        self.sample_fn = jax.jit(gan.make_sample_fn(cfg, self.models))
+
+    def _prep(self, batch: dict) -> dict:
+        batch = {k: v for k, v in batch.items() if k != "class_id"}
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh, str(self.cfg.MESH.DATA_AXIS))
+        return batch
+
+    def train(self, max_epoch: int | None = None) -> dict:
+        cfg = self.cfg
+        max_epoch = max_epoch or int(cfg.TRAIN.MAX_EPOCH)
+        snapshot = int(cfg.TRAIN.SNAPSHOT_INTERVAL)
+        base_rng = jax.random.key(int(cfg.SEED) + 1)
+        mets = {}
+        t0 = time.time()
+        imgs_done = 0
+        for epoch in range(max_epoch):
+            for batch in self.batch_factory(epoch):
+                b = batch["images"][0].shape[0]
+                self.state, mets = self.step_fn(
+                    self.state, self._prep(batch), base_rng
+                )
+                imgs_done += b
+                step = int(self.state.step)
+                if step % self.log_every == 0:
+                    dt = time.time() - t0
+                    scalars = {k: float(v) for k, v in mets.items()}
+                    scalars["images_per_sec"] = imgs_done / max(dt, 1e-9)
+                    self.logger.log(step, scalars)
+                    t0, imgs_done = time.time(), 0
+                if step % self.image_every == 0:
+                    self._save_grid(step)
+                if snapshot and step % snapshot == 0:
+                    self.ckpt.save(step, self.state)
+        step = int(self.state.step)
+        if self.ckpt.latest_step != step:
+            self.ckpt.save(step, self.state, force=True)
+        self.ckpt.wait()
+        return {k: float(v) for k, v in mets.items()}
+
+    def _save_grid(self, step: int) -> None:
+        emb = jax.numpy.asarray(self._viz_batch["embedding"][:8])
+        imgs = self.sample_fn(self.state, emb, jax.random.key(42))
+        save_image_grid(
+            np.asarray(imgs[-1]),
+            os.path.join(self.output_dir, "images", f"fake_{step:07d}.png"),
+        )
+
+    def sample_to_dir(
+        self,
+        embeddings: np.ndarray,
+        out_dir: str,
+        names: list[str] | None = None,
+        samples_per_emb: int = 1,
+        batch_size: int = 32,
+        seed: int = 0,
+    ) -> None:
+        """Reference eval path (SURVEY.md §3.4): generate for every test
+        embedding, save top-scale PNGs."""
+        from s2i_tpu.utils.images import save_images
+
+        n = embeddings.shape[0]
+        names = names or [f"{i:06d}" for i in range(n)]
+        for s in range(samples_per_emb):
+            outs = []
+            for i in range(0, n, batch_size):
+                e = embeddings[i : i + batch_size]
+                pad = batch_size - e.shape[0]
+                if pad:
+                    e = np.concatenate([e, np.zeros((pad, e.shape[1]), e.dtype)])
+                imgs = self.sample_fn(
+                    self.state, jax.numpy.asarray(e), jax.random.key(seed + s)
+                )
+                top = np.asarray(imgs[-1])
+                outs.append(top[: batch_size - pad] if pad else top)
+            allimgs = np.concatenate(outs)
+            save_images(
+                allimgs,
+                out_dir if samples_per_emb == 1 else os.path.join(out_dir, str(s)),
+                [f"{nm}.png" for nm in names],
+            )
+
+    def close(self) -> None:
+        self.ckpt.close()
+        self.logger.close()

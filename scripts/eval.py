@@ -1,0 +1,55 @@
+"""Metrics CLI: Inception Score + FID over image dirs, retrieval over
+embedding pickles (reference IS/FID scripts, SURVEY.md §2 L5 rows)."""
+import sys, os, argparse, glob
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+
+def load_dir(d, limit=None):
+    from PIL import Image
+
+    paths = sorted(
+        glob.glob(os.path.join(d, "*.png")) + glob.glob(os.path.join(d, "*.jpg"))
+    )[:limit]
+    if not paths:
+        raise FileNotFoundError(f"no images under {d}")
+    return np.stack(
+        [np.asarray(Image.open(p).convert("RGB"), np.float32) / 127.5 - 1.0 for p in paths]
+    )
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--gen_dir", required=True, help="generated images")
+    p.add_argument("--real_dir", default=None, help="real images (for FID)")
+    p.add_argument("--weights", default=None, help="Inception weights (.npz flax / .pth torch)")
+    p.add_argument("--splits", type=int, default=10)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--limit", type=int, default=None)
+    args = p.parse_args()
+
+    from s2i_tpu.eval import InceptionFeatures, fid_score, inception_score
+
+    variables = None
+    if args.weights:
+        if args.weights.endswith(".pth") or args.weights.endswith(".pt"):
+            import torch
+            from s2i_tpu.eval.weights import load_torch_inception
+
+            variables = load_torch_inception(
+                torch.load(args.weights, map_location="cpu", weights_only=True)
+            )
+        else:
+            raise ValueError("pass a torch .pth state_dict")
+    ex = InceptionFeatures(variables)
+    gen = load_dir(args.gen_dir, args.limit)
+    mean, std = inception_score(gen, ex, args.splits, args.batch)
+    print(f"IS: {mean:.4f} +- {std:.4f}" + ("" if args.weights else "  [random-weight Inception: plumbing only]"))
+    if args.real_dir:
+        real = load_dir(args.real_dir, args.limit)
+        f = fid_score(gen, real, ex, args.batch)
+        print(f"FID: {f:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Data-layer tests against a synthesized on-disk StackGAN-layout fixture
+(SURVEY.md §7 step 3: loaders written now, exercised via fixtures until the
+real CUB/Oxford assets exist)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from s2i_tpu.audio.wavio import read_wav, resample_linear, write_wav
+from s2i_tpu.data.stackgan import (
+    GanEpochIterator,
+    SpeechEpochIterator,
+    StackGanSplit,
+    multiscale,
+)
+
+N_IMG, N_CAP, EMB = 6, 3, 32
+
+
+@pytest.fixture(scope="module")
+def fake_dataset(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("birds")
+    rng = np.random.default_rng(0)
+    for split in ("train", "test"):
+        d = root / split
+        d.mkdir()
+        names = [f"{split}_img_{i}" for i in range(N_IMG)]
+        with open(d / "filenames.pickle", "wb") as f:
+            pickle.dump(names, f)
+        with open(d / "char-CNN-RNN-embeddings.pickle", "wb") as f:
+            pickle.dump(
+                rng.normal(size=(N_IMG, N_CAP, EMB)).astype(np.float32), f
+            )
+        with open(d / "class_info.pickle", "wb") as f:
+            pickle.dump(list(range(N_IMG)), f)
+        for i, name in enumerate(names):
+            img = (rng.uniform(0, 255, (300, 300, 3))).astype(np.uint8)
+            (root / "images").mkdir(exist_ok=True)
+            Image.fromarray(img).save(root / "images" / f"{name}.jpg")
+            wav_dir = root / "audio" / name
+            wav_dir.mkdir(parents=True, exist_ok=True)
+            for c in range(N_CAP):
+                write_wav(
+                    str(wav_dir / f"{c}.wav"),
+                    rng.uniform(-0.5, 0.5, 8000).astype(np.float32),
+                    16000,
+                )
+    return str(root)
+
+
+def test_wavio_roundtrip(tmp_path):
+    x = np.sin(np.linspace(0, 100, 16000)).astype(np.float32) * 0.7
+    p = str(tmp_path / "t.wav")
+    write_wav(p, x, 16000)
+    y, sr = read_wav(p)
+    assert sr == 16000 and y.shape == x.shape
+    np.testing.assert_allclose(x, y, atol=1e-4)
+    z = resample_linear(y, 16000, 8000)
+    assert abs(len(z) - 8000) <= 1
+
+
+def test_split_loading(fake_dataset):
+    split = StackGanSplit(fake_dataset, "train")
+    assert len(split) == N_IMG
+    assert split.embeddings.shape == (N_IMG, N_CAP, EMB)
+    assert split.captions_per_image == N_CAP
+    img = split.load_image(0, 256, np.random.default_rng(0))
+    assert img.shape == (256, 256, 3)
+    assert img.min() >= -1.0 and img.max() <= 1.0
+    wav = split.load_wav(0, 1, 16000)
+    assert wav.shape == (8000,)
+
+
+def test_multiscale_consistency():
+    rng = np.random.default_rng(0)
+    top = rng.uniform(-1, 1, (256, 256, 3)).astype(np.float32)
+    scales = multiscale(top, 3)
+    assert [s.shape[0] for s in scales] == [64, 128, 256]
+    # area pooling preserves the mean
+    np.testing.assert_allclose(scales[0].mean(), top.mean(), atol=1e-5)
+
+
+def test_gan_epoch_iterator(fake_dataset):
+    split = StackGanSplit(fake_dataset, "train")
+    batches = list(GanEpochIterator(split, 4, 3, seed=1))
+    assert len(batches) == N_IMG // 4
+    b = batches[0]
+    assert [im.shape for im in b["images"]] == [
+        (4, 64, 64, 3),
+        (4, 128, 128, 3),
+        (4, 256, 256, 3),
+    ]
+    assert b["embedding"].shape == (4, EMB)
+    # different seeds shuffle differently
+    b2 = next(iter(GanEpochIterator(split, 4, 3, seed=2)))
+    assert not np.allclose(b["embedding"], b2["embedding"])
+
+
+def test_speech_epoch_iterator(fake_dataset):
+    split = StackGanSplit(fake_dataset, "train")
+    it = SpeechEpochIterator(split, 4, 16000, max_samples=10000, seed=0)
+    b = next(iter(it))
+    assert b["wav"].shape == (4, 10000)
+    assert (b["wav_len"] == 8000).all()
+    assert (b["wav"][:, 8000:] == 0).all()
+    assert b["teacher"].shape == (4, EMB)
+
+
+def test_frontend_consumes_speech_batches(fake_dataset):
+    import jax.numpy as jnp
+
+    from s2i_tpu.audio import FrontendParams, extract_features
+
+    split = StackGanSplit(fake_dataset, "train")
+    p = FrontendParams(max_frames=64)
+    it = SpeechEpochIterator(split, 4, p.sample_rate, 10000, seed=0)
+    b = next(iter(it))
+    feats, mask = extract_features(
+        jnp.asarray(b["wav"]), p, wav_len=jnp.asarray(b["wav_len"])
+    )
+    assert feats.shape == (4, 64, 40)
+    n_valid = int(mask[0].sum())
+    # 8000 samples -> 1 + (8000-400)//160 = 48 valid frames
+    assert n_valid == 48
