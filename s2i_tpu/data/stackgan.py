@@ -235,29 +235,77 @@ class GanEpochIterator:
         base_size: int = 64,
         seed: int = 0,
         drop_last: bool = True,
+        use_native: bool | None = None,
+        num_threads: int = 8,
     ):
         self.split = split
         self.batch_size = batch_size
         self.branch_num = branch_num
         self.base_size = base_size
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.num_threads = num_threads
+        if use_native is None:
+            from s2i_tpu import native
+
+            use_native = native.native_available()
+        self.use_native = use_native
+
+    def _load_scales_native(self, idx: np.ndarray, batch_seed: int):
+        from s2i_tpu import native
+
+        paths = [self.split.image_path(int(i)) for i in idx]
+        if any(not p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+            return None  # mixed formats: take the PIL path
+        top = self.base_size * 2 ** (self.branch_num - 1)
+        bboxes = None
+        if self.split.bboxes is not None:
+            bboxes = np.zeros((len(idx), 4), np.float32)
+            for j, i in enumerate(idx):
+                bb = self.split.bboxes.get(self.split.filenames[int(i)])
+                if bb is not None:
+                    bboxes[j] = bb
+        outs, failed = native.load_batch(
+            paths,
+            bboxes,
+            top,
+            self.branch_num,
+            batch_seed,
+            augment=True,
+            num_threads=self.num_threads,
+        )
+        if failed:
+            # backfill zeroed slots via PIL (corrupt/odd files)
+            for j, i in enumerate(idx):
+                if not np.any(outs[-1][j]):
+                    im = self.split.load_image(int(i), top, self.rng)
+                    for b, s in enumerate(multiscale(im, self.branch_num, self.base_size)):
+                        outs[b][j] = s
+        return outs
+
+    def _load_scales_pil(self, idx: np.ndarray):
+        top = self.base_size * 2 ** (self.branch_num - 1)
+        imgs = np.stack([self.split.load_image(int(i), top, self.rng) for i in idx])
+        return [
+            np.stack(x)
+            for x in zip(
+                *[multiscale(im, self.branch_num, self.base_size) for im in imgs]
+            )
+        ]
 
     def __iter__(self):
         n = len(self.split)
         order = self.rng.permutation(n)
-        top = self.base_size * 2 ** (self.branch_num - 1)
-        for start in range(0, n, self.batch_size):
+        for bnum, start in enumerate(range(0, n, self.batch_size)):
             idx = order[start : start + self.batch_size]
             if len(idx) < self.batch_size and self.drop_last:
                 return
-            imgs = np.stack(
-                [self.split.load_image(i, top, self.rng) for i in idx]
-            )
-            scales = [
-                np.stack(x)
-                for x in zip(*[multiscale(im, self.branch_num, self.base_size) for im in imgs])
-            ]
+            scales = None
+            if self.use_native:
+                scales = self._load_scales_native(idx, self.seed * 100003 + bnum)
+            if scales is None:
+                scales = self._load_scales_pil(idx)
             cap = self.rng.integers(0, self.split.captions_per_image, len(idx))
             emb = self.split.embeddings[idx, cap]
             yield {

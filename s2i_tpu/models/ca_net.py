@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from s2i_tpu.models.layers import glu
+from s2i_tpu.models.layers import dense_init, glu
 
 
 class CANet(nn.Module):
@@ -26,7 +26,9 @@ class CANet(nn.Module):
         self, embedding: jax.Array, rng: jax.Array | None = None, train: bool = True
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         """Returns (c_code, mu, logvar). ``rng`` required when train=True."""
-        x = nn.Dense(self.c_dim * 4, dtype=self.dtype)(embedding)
+        x = nn.Dense(
+            self.c_dim * 4, dtype=self.dtype, kernel_init=dense_init
+        )(embedding)
         x = glu(x)
         mu, logvar = x[..., : self.c_dim], x[..., self.c_dim :]
         if train:

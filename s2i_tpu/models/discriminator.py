@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from s2i_tpu.models.layers import Block3x3LeakyReLU, DownBlock
+from s2i_tpu.models.layers import Block3x3LeakyReLU, DownBlock, conv_init
 
 
 class _Trunk(nn.Module):
@@ -65,7 +65,7 @@ class _Heads(nn.Module):
         ndf = self.df_dim
         uncond = nn.Conv(
             1, (4, 4), strides=(4, 4), padding="VALID", dtype=self.dtype,
-            name="uncond_logit",
+            name="uncond_logit", kernel_init=conv_init,
         )(code)
         uncond = uncond.reshape(code.shape[0]).astype(jnp.float32)
         if not (self.b_condition and c is not None):
@@ -80,7 +80,7 @@ class _Heads(nn.Module):
         )
         cond = nn.Conv(
             1, (4, 4), strides=(4, 4), padding="VALID", dtype=self.dtype,
-            name="cond_logit",
+            name="cond_logit", kernel_init=conv_init,
         )(x)
         cond = cond.reshape(b).astype(jnp.float32)
         return cond, uncond

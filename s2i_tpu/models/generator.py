@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from s2i_tpu.models.layers import (
+    dense_init,
     BatchNorm,
     Block3x3GLU,
     Conv3x3,
@@ -41,7 +42,12 @@ class InitStageG(nn.Module):
     def __call__(self, z: jax.Array, c: jax.Array, train: bool = True):
         ngf = self.gf_dim
         x = jnp.concatenate([z, c.astype(z.dtype)], axis=-1)
-        x = nn.Dense(ngf * 4 * 4 * 2, use_bias=False, dtype=self.dtype)(x)
+        x = nn.Dense(
+            ngf * 4 * 4 * 2,
+            use_bias=False,
+            dtype=self.dtype,
+            kernel_init=dense_init,
+        )(x)
         x = BatchNorm(self.dtype, self.axis_name)(x, train)
         x = glu(x)
         x = x.reshape(x.shape[0], 4, 4, ngf)

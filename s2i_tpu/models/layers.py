@@ -19,6 +19,18 @@ from flax import linen as nn
 
 Dtype = Any
 
+# StackGAN-lineage init scheme (reference ``miscc/utils.py`` weights_init):
+# convs ~ N(0, 0.02); BN scale ~ N(1, 0.02), bias 0; linears orthogonal.
+# GAN training dynamics are sensitive to this, so we match it exactly.
+conv_init = nn.initializers.normal(stddev=0.02)
+dense_init = nn.initializers.orthogonal()
+
+
+def bn_scale_init(key, shape, dtype=jnp.float32):
+    import jax
+
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
 
 def glu(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Gated linear unit: split channels in half, gate with sigmoid."""
@@ -47,6 +59,7 @@ class Conv3x3(nn.Module):
             padding="SAME",
             use_bias=False,
             dtype=self.dtype,
+            kernel_init=conv_init,
         )(x)
 
 
@@ -67,6 +80,7 @@ class BatchNorm(nn.Module):
             epsilon=1e-5,
             dtype=self.dtype,
             axis_name=self.axis_name if train else None,
+            scale_init=bn_scale_init,
         )(x)
 
 
@@ -133,6 +147,7 @@ class DownBlock(nn.Module):
             padding=((1, 1), (1, 1)),
             use_bias=False,
             dtype=self.dtype,
+            kernel_init=conv_init,
         )(x)
         if self.use_bn:
             x = BatchNorm(self.dtype, self.axis_name)(x, train)

@@ -81,8 +81,10 @@ class GanTrainer:
         mets = {}
         t0 = time.time()
         imgs_done = 0
+        from s2i_tpu.data.pipeline import prefetch
+
         for epoch in range(max_epoch):
-            for batch in self.batch_factory(epoch):
+            for batch in prefetch(self.batch_factory(epoch), depth=4):
                 b = batch["images"][0].shape[0]
                 self.state, mets = self.step_fn(
                     self.state, self._prep(batch), base_rng
