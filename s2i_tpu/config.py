@@ -89,6 +89,11 @@ def default_cfg() -> AttrDict:
                 },
                 # Flags for the encoder-in-the-loop ("joint") mode (§3.5).
                 "JOINT_FT": False,
+                # Debug/observability (SURVEY.md §5): per-step finiteness
+                # guard (costs one host sync per step) and a jax.profiler
+                # trace of steps ~5-10 written to this dir when non-empty.
+                "DEBUG_NANS": False,
+                "PROFILE_DIR": "",
                 # Polyak-averaged copy of G used for snapshots/sampling
                 # (StackGAN-v2 lineage keeps avg_param_G with decay 0.999);
                 # 0 disables.

@@ -83,14 +83,34 @@ class GanTrainer:
         imgs_done = 0
         from s2i_tpu.data.pipeline import prefetch
 
+        debug_nans = bool(cfg.TRAIN.DEBUG_NANS)
+        profile_dir = str(cfg.TRAIN.PROFILE_DIR)
+        profiling = False
         for epoch in range(max_epoch):
             for batch in prefetch(self.batch_factory(epoch), depth=4):
                 b = batch["images"][0].shape[0]
                 self.state, mets = self.step_fn(
                     self.state, self._prep(batch), base_rng
                 )
-                imgs_done += b
                 step = int(self.state.step)
+                if debug_nans:
+                    bad = {
+                        k: float(v)
+                        for k, v in mets.items()
+                        if not np.isfinite(float(v))
+                    }
+                    if bad:
+                        raise FloatingPointError(
+                            f"non-finite metrics at step {step}: {bad}"
+                        )
+                if profile_dir and step == 5 and not profiling:
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+                elif profiling and step == 10:
+                    jax.block_until_ready(self.state)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                imgs_done += b
                 if step % self.log_every == 0:
                     dt = time.time() - t0
                     scalars = {k: float(v) for k, v in mets.items()}

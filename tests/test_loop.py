@@ -1,0 +1,120 @@
+"""Trainer-driver tests: end-to-end train loop on synthetic data, crash
+auto-resume from Orbax, sampling tree output, NaN guard, CLI smoke via
+subprocess on the CPU backend (SURVEY.md §4 "Integration", §5 rows)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from s2i_tpu import config
+from s2i_tpu.cli import gan_batch_factory
+from s2i_tpu.train.loop import GanTrainer
+
+
+def tiny_cfg(**kw):
+    c = config.default_cfg()
+    c.DATASET_NAME = "synthetic"
+    c.TREE.BRANCH_NUM = 1
+    c.GAN.GF_DIM = 8
+    c.GAN.DF_DIM = 8
+    c.GAN.Z_DIM = 16
+    c.GAN.EMBEDDING_DIM = 16
+    c.TEXT.DIMENSION = 32
+    c.TRAIN.BATCH_SIZE = 8
+    c.TRAIN.MAX_EPOCH = 1
+    c.TRAIN.SNAPSHOT_INTERVAL = 8
+    c.DTYPE.COMPUTE = "float32"
+    for k, v in kw.items():
+        node = c
+        parts = k.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = v
+    return c
+
+
+def test_trainer_runs_and_resumes(tmp_path):
+    cfg = tiny_cfg()
+    out = str(tmp_path / "run")
+    t1 = GanTrainer(cfg, out, gan_batch_factory(cfg), image_every=8)
+    t1.train(max_epoch=1)
+    steps_after_first = int(t1.state.step)
+    t1.close()
+    assert steps_after_first == 16  # 128 examples / batch 8
+
+    # same output dir → restores latest checkpoint and continues
+    t2 = GanTrainer(cfg, out, gan_batch_factory(cfg), image_every=1000)
+    assert int(t2.state.step) == steps_after_first
+    t2.train(max_epoch=1)
+    assert int(t2.state.step) == 2 * steps_after_first
+    t2.close()
+
+    assert os.path.exists(os.path.join(out, "scalars.jsonl"))
+    grids = os.listdir(os.path.join(out, "images"))
+    assert any(g.endswith(".png") for g in grids)
+
+
+def test_trainer_sample_to_dir(tmp_path):
+    cfg = tiny_cfg()
+    out = str(tmp_path / "run")
+    t = GanTrainer(cfg, out, gan_batch_factory(cfg))
+    emb = np.random.default_rng(0).normal(size=(5, 32)).astype(np.float32)
+    t.sample_to_dir(emb, str(tmp_path / "samples"), batch_size=4)
+    t.close()
+    assert len(os.listdir(tmp_path / "samples")) == 5
+
+
+def test_debug_nans_guard(tmp_path):
+    cfg = tiny_cfg(**{"TRAIN.DEBUG_NANS": True, "TRAIN.GENERATOR_LR": 1.0e6})
+    out = str(tmp_path / "run")
+    t = GanTrainer(cfg, out, gan_batch_factory(cfg))
+    # absurd lr drives the G loss non-finite within an epoch
+    with pytest.raises(FloatingPointError):
+        for _ in range(6):
+            t.train(max_epoch=1)
+    t.close()
+
+
+def test_scalars_jsonl_schema(tmp_path):
+    cfg = tiny_cfg()
+    out = str(tmp_path / "run")
+    t = GanTrainer(cfg, out, gan_batch_factory(cfg), log_every=8)
+    t.train(max_epoch=1)
+    t.close()
+    lines = open(os.path.join(out, "scalars.jsonl")).read().strip().splitlines()
+    rec = json.loads(lines[-1])
+    for key in ("step", "g_loss", "d_loss", "kl", "images_per_sec"):
+        assert key in rec
+
+
+@pytest.mark.slow
+def test_cli_smoke(tmp_path):
+    """main.py end-to-end in a subprocess on the CPU backend."""
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "main.py"),
+            "--cfg",
+            os.path.join(repo, "cfg", "debug_tiny.yml"),
+            "--output_dir",
+            str(tmp_path),
+            "--set",
+            "TRAIN.MAX_EPOCH=1",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=repo,
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    runs = os.listdir(tmp_path)
+    assert any("train" in d for d in runs)
