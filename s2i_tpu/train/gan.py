@@ -183,33 +183,43 @@ def make_train_step(
         b = batch["images"][0].shape[0]
         z = jax.random.normal(rng_z, (b, z_dim), jnp.float32)
 
-        # ---- conditioning for the D phase (no grads) ----
-        if joint:
-            emb, _ = models.encoder.apply(
-                {
-                    "params": state.g_params["enc"],
-                    "batch_stats": state.g_stats["enc"],
-                },
-                batch["feats"],
-                batch.get("feat_mask"),
-                train=True,
+        # ---- ONE G-side forward, with saved VJP residuals ----
+        # The same generated images serve the D phase (as constants) and,
+        # after the D update, the G backward (chain rule through g_vjp) —
+        # exact reference ordering without a second generator forward.
+        def g_forward(g_params):
+            new_stats = {}
+            if joint:
+                emb_g, enc_vars = models.encoder.apply(
+                    {
+                        "params": g_params["enc"],
+                        "batch_stats": state.g_stats["enc"],
+                    },
+                    batch["feats"],
+                    batch.get("feat_mask"),
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                new_stats["enc"] = enc_vars["batch_stats"]
+            else:
+                emb_g = batch["embedding"]
+            c, mu, logvar = models.ca.apply(
+                {"params": g_params["ca"]}, emb_g, rng_ca
+            )
+            fakes, g_vars = models.g.apply(
+                {"params": g_params["g"], "batch_stats": state.g_stats["g"]},
+                z,
+                c,
                 mutable=["batch_stats"],
             )
-        else:
-            emb = batch["embedding"]
-        emb_d = jax.lax.stop_gradient(emb)
-        c_d, mu_d, _ = models.ca.apply(
-            {"params": state.g_params["ca"]}, emb_d, rng_ca
-        )
-        cond_d = jax.lax.stop_gradient(mu_d)
-        cond_wrong = jnp.roll(cond_d, 1, axis=0)
+            new_stats["g"] = g_vars["batch_stats"]
+            return (tuple(fakes), mu, logvar, emb_g), new_stats
 
-        fakes, _ = models.g.apply(
-            {"params": state.g_params["g"], "batch_stats": state.g_stats["g"]},
-            z,
-            jax.lax.stop_gradient(c_d),
-            mutable=["batch_stats"],
+        (fakes, mu, logvar, emb_g), g_vjp, g_stats_new = jax.vjp(
+            g_forward, state.g_params, has_aux=True
         )
+        cond_d = jax.lax.stop_gradient(mu)
+        cond_wrong = jnp.roll(cond_d, 1, axis=0)
         fakes_sg = [jax.lax.stop_gradient(f) for f in fakes]
 
         # ---- D phase: one backward over the disjoint D param tuple ----
@@ -248,35 +258,10 @@ def make_train_step(
             d_opt_new.append(do2)
         d_params_new, d_opt_new = tuple(d_params_new), tuple(d_opt_new)
 
-        # ---- G phase against the UPDATED Ds (reference order) ----
-        def g_loss_fn(g_params):
+        # ---- G phase against the UPDATED Ds (reference order): grads wrt
+        # the saved forward's outputs, pulled back through g_vjp ----
+        def g_out_loss(fakes2, mu2, logvar2, emb2):
             mets = {}
-            new_stats = {}
-            if joint:
-                emb_g, enc_vars = models.encoder.apply(
-                    {
-                        "params": g_params["enc"],
-                        "batch_stats": state.g_stats["enc"],
-                    },
-                    batch["feats"],
-                    batch.get("feat_mask"),
-                    train=True,
-                    mutable=["batch_stats"],
-                )
-                new_stats["enc"] = enc_vars["batch_stats"]
-            else:
-                emb_g = batch["embedding"]
-            c, mu, logvar = models.ca.apply(
-                {"params": g_params["ca"]}, emb_g, rng_ca
-            )
-            fakes2, g_vars = models.g.apply(
-                {"params": g_params["g"], "batch_stats": state.g_stats["g"]},
-                z,
-                c,
-                mutable=["batch_stats"],
-            )
-            new_stats["g"] = g_vars["batch_stats"]
-
             adv = jnp.asarray(0.0, jnp.float32)
             for i, (d, dp, dst, fake) in enumerate(
                 zip(models.ds, d_params_new, d_stats_new, fakes2)
@@ -284,30 +269,31 @@ def make_train_step(
                 (cond_f, uncond_f), _ = d.apply(
                     {"params": dp, "batch_stats": dst},
                     fake,
-                    mu if b_condition else None,
+                    mu2 if b_condition else None,
                     mutable=["batch_stats"],
                 )
                 adv = adv + losses.generator_adversarial_loss(
                     cond_f, uncond_f, uncond_coeff
                 )
-            kl = kl_divergence(mu, logvar)
+            kl = kl_divergence(mu2, logvar2)
             total = adv + kl_coeff * kl
             mets["g_adv"] = adv
             mets["kl"] = kl
             if color_coeff > 0 and len(fakes2) > 1:
-                closs = losses.color_consistency_loss(fakes2)
+                closs = losses.color_consistency_loss(list(fakes2))
                 total = total + color_coeff * closs
                 mets["color"] = closs
             if joint and distill_coeff > 0:
-                dloss, dmets = losses.distillation_loss(emb_g, batch["teacher"])
+                dloss, dmets = losses.distillation_loss(emb2, batch["teacher"])
                 total = total + distill_coeff * dloss
                 mets["distill_mse"] = dmets["mse"]
             mets["g_loss"] = total
-            return total, (new_stats, mets)
+            return total, mets
 
-        (g_total, (g_stats_new, g_mets)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.g_params)
+        (g_total, g_mets), out_bars = jax.value_and_grad(
+            g_out_loss, argnums=(0, 1, 2, 3), has_aux=True
+        )(fakes, mu, logvar, emb_g)
+        (g_grads,) = g_vjp(out_bars)
         g_grads = psum_mean(g_grads)
         g_upd, g_opt_new = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params_new = optax.apply_updates(state.g_params, g_upd)
