@@ -105,6 +105,7 @@ def default_cfg() -> AttrDict:
                 "Z_DIM": 100,
                 "EMBEDDING_DIM": 128,  # CA-net condition dim
                 "R_NUM": 2,  # residual blocks per next-stage
+                "REMAT": False,  # rematerialize G stages in backward
                 "NETWORK_TYPE": "default",
                 "B_CONDITION": True,
             },

@@ -97,19 +97,26 @@ class GNet(nn.Module):
     num_res: int = 2  # cfg.GAN.R_NUM
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    # Rematerialize each stage in the backward pass (cfg.GAN.REMAT): trades
+    # recompute FLOPs for HBM activation traffic — enables larger batches.
+    remat: bool = False
 
     @nn.compact
     def __call__(
         self, z: jax.Array, c: jax.Array, train: bool = True
     ) -> list[jax.Array]:
+        init_cls, next_cls = InitStageG, NextStageG
+        if self.remat:
+            init_cls = nn.remat(InitStageG, static_argnums=(3,))
+            next_cls = nn.remat(NextStageG, static_argnums=(3,))
         imgs = []
-        h = InitStageG(self.gf_dim * 16, self.dtype, self.axis_name, name="init")(
+        h = init_cls(self.gf_dim * 16, self.dtype, self.axis_name, name="init")(
             z, c, train
         )
         imgs.append(ToRGB(self.dtype, name="to_rgb0")(h))
         ngf = self.gf_dim
         for i in range(1, self.branch_num):
-            h = NextStageG(
+            h = next_cls(
                 ngf, self.num_res, self.dtype, self.axis_name, name=f"next{i}"
             )(h, c, train)
             ngf //= 2

@@ -10,14 +10,18 @@ are left open for extension.
 
 from s2i_tpu.parallel.mesh import (
     make_mesh,
+    make_parallel_encoder_step,
     make_parallel_train_step,
+    maybe_initialize_distributed,
     replicate_state,
     shard_batch,
 )
 
 __all__ = [
     "make_mesh",
+    "make_parallel_encoder_step",
     "make_parallel_train_step",
+    "maybe_initialize_distributed",
     "replicate_state",
     "shard_batch",
 ]

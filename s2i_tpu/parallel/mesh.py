@@ -49,6 +49,38 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     return jax.tree.map(put, batch)
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host bring-up (SURVEY.md §5 'Distributed comm backend'): call
+    ``jax.distributed.initialize`` when the standard coordinator env vars are
+    present; DCN handles the cross-slice legs of the same mesh code."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
+def make_parallel_encoder_step(cfg, model, mesh: Mesh) -> Callable:
+    """shard_map-wrapped distillation pretrain step (state replicated,
+    batch sharded, pmean-ed grads) — the encoder analog of
+    make_parallel_train_step."""
+    from s2i_tpu.train import encoder as enc_train
+
+    axis = str(cfg.MESH.DATA_AXIS)
+    step = enc_train.make_encoder_train_step(cfg, model, axis_name=axis)
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_parallel_train_step(
     cfg, models: gan.GanModels, mesh: Mesh
 ) -> Callable:

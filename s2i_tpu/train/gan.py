@@ -50,6 +50,7 @@ def build_models(
         num_res=int(cfg.GAN.R_NUM),
         dtype=dtype,
         axis_name=axis_name,
+        remat=bool(cfg.GAN.REMAT),
     )
     ds = tuple(
         build_discriminators(
