@@ -1,0 +1,163 @@
+"""End-to-end inference pipeline: speech waveform → image, one jitted XLA
+program (the paper's headline capability — SURVEY.md §1 "direct
+speech-to-image", no text anywhere in the path):
+
+    wav → Pallas log-mel frontend → SpeechEncoder → CA (μ) → G_NET → RGB
+
+Used by ``scripts/speech_to_image.py`` and importable directly:
+
+    pipe = SpeechToImage.from_checkpoints(cfg, encoder_ckpt, gan_ckpt)
+    images = pipe.generate(wavs, wav_lens, seed=0)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s2i_tpu.audio import extract_features, frontend_params_from_cfg
+from s2i_tpu.train import encoder as enc_train
+from s2i_tpu.train import gan as gan_train
+
+
+class SpeechToImage:
+    def __init__(self, cfg, enc_state, gan_state, use_ema: bool = True):
+        self.cfg = cfg
+        self.p = frontend_params_from_cfg(cfg.AUDIO)
+        self.encoder = enc_train.build_encoder(cfg)
+        self.models = gan_train.build_models(cfg)
+        self.enc_state = enc_state
+        self.gan_state = gan_state
+        self.use_ema = use_ema
+        z_dim = int(cfg.GAN.Z_DIM)
+        use_pallas = jax.default_backend() == "tpu"
+
+        @functools.partial(jax.jit, static_argnames=("branch",))
+        def _generate(enc_state, gan_state, wavs, wav_lens, rng, branch):
+            feats, mask = extract_features(
+                wavs, self.p, use_pallas=use_pallas, wav_len=wav_lens
+            )
+            out = self.encoder.apply(
+                {
+                    "params": enc_state.params,
+                    "batch_stats": enc_state.batch_stats,
+                },
+                feats,
+                mask,
+                train=False,
+            )
+            emb = out[0] if isinstance(out, tuple) else out
+            params = (
+                gan_state.ema_g
+                if (use_ema and gan_state.ema_g)
+                else {
+                    "ca": gan_state.g_params["ca"],
+                    "g": gan_state.g_params["g"],
+                }
+            )
+            c, _, _ = self.models.ca.apply(
+                {"params": params["ca"]}, emb, train=False
+            )
+            z = jax.random.normal(rng, (wavs.shape[0], z_dim), jnp.float32)
+            imgs = self.models.g.apply(
+                {"params": params["g"], "batch_stats": gan_state.g_stats["g"]},
+                z,
+                c,
+                train=False,
+            )
+            return imgs[branch]
+
+        self._generate = _generate
+
+    @classmethod
+    def from_checkpoints(
+        cls, cfg, encoder_ckpt: str, gan_ckpt: str, use_ema: bool = True
+    ) -> "SpeechToImage":
+        """Restore both halves from Orbax checkpoint directories."""
+        from s2i_tpu.utils import CheckpointManager
+
+        p = frontend_params_from_cfg(cfg.AUDIO)
+        encoder = enc_train.build_encoder(cfg)
+        dummy = {
+            "feats": np.zeros((1, p.max_frames, p.n_features), np.float32),
+            "feat_mask": np.ones((1, p.max_frames), bool),
+        }
+        enc_state = enc_train.init_encoder_state(
+            cfg, encoder, jax.random.key(0), dummy
+        )
+        mgr = CheckpointManager(encoder_ckpt)
+        restored = mgr.restore_latest(enc_state)
+        if restored is None:
+            raise FileNotFoundError(f"no encoder checkpoint in {encoder_ckpt}")
+        enc_state = restored[0]
+        mgr.close()
+
+        models = gan_train.build_models(cfg)
+        b = 1
+        branch = int(cfg.TREE.BRANCH_NUM)
+        dummy_gan = {
+            "images": tuple(
+                np.zeros((b, 64 * 2**i, 64 * 2**i, 3), np.float32)
+                for i in range(branch)
+            ),
+            "embedding": np.zeros((b, int(cfg.TEXT.DIMENSION)), np.float32),
+        }
+        gan_state = gan_train.init_state(
+            cfg, models, jax.random.key(0), dummy_gan
+        )
+        mgr = CheckpointManager(gan_ckpt)
+        restored = mgr.restore_latest(gan_state)
+        if restored is None:
+            raise FileNotFoundError(f"no GAN checkpoint in {gan_ckpt}")
+        gan_state = restored[0]
+        mgr.close()
+        return cls(cfg, enc_state, gan_state, use_ema)
+
+    def generate(
+        self,
+        wavs: np.ndarray,
+        wav_lens: np.ndarray | None = None,
+        seed: int = 0,
+        stage: int = -1,
+    ) -> np.ndarray:
+        """wavs [B, n_samples] float32 in [-1,1] → images [B, S, S, 3] in
+        [-1,1] at the requested stage (-1 = highest resolution)."""
+        wavs = jnp.asarray(wavs, jnp.float32)
+        if wav_lens is None:
+            wav_lens = jnp.full((wavs.shape[0],), wavs.shape[1], jnp.int32)
+        branch = int(self.cfg.TREE.BRANCH_NUM)
+        stage = stage % branch
+        imgs = self._generate(
+            self.enc_state,
+            self.gan_state,
+            wavs,
+            jnp.asarray(wav_lens, jnp.int32),
+            jax.random.key(seed),
+            stage,
+        )
+        return np.asarray(imgs)
+
+    def generate_files(
+        self, wav_paths: list[str], out_paths: list[str], seed: int = 0
+    ) -> None:
+        """wav files → PNG files (host IO + one device pass)."""
+        from s2i_tpu.audio.wavio import read_wav, resample_linear
+        from s2i_tpu.utils.images import to_uint8
+        from PIL import Image
+
+        p = self.p
+        max_samples = (p.max_frames - 1) * p.hop_length + p.win_length
+        wavs = np.zeros((len(wav_paths), max_samples), np.float32)
+        lens = np.zeros(len(wav_paths), np.int32)
+        for i, path in enumerate(wav_paths):
+            x, sr = read_wav(path)
+            x = resample_linear(x, sr, p.sample_rate)
+            m = min(len(x), max_samples)
+            wavs[i, :m] = x[:m]
+            lens[i] = m
+        imgs = to_uint8(self.generate(wavs, lens, seed))
+        for img, out in zip(imgs, out_paths):
+            Image.fromarray(img).save(out)

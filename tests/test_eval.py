@@ -99,3 +99,30 @@ def test_torch_weight_mapper_shapes():
     assert p["Mixed_5b"]["branch5x5_1"]["conv"]["kernel"].shape == (1, 1, 192, 48)
     assert p["fc"]["kernel"].shape == (2048, 1000)
     assert "AuxLogits" not in p
+
+
+def test_inception_finetune_step_learns():
+    import jax
+    import jax.numpy as jnp
+    from s2i_tpu.eval.finetune import (
+        init_inception_state,
+        make_inception_train_step,
+    )
+
+    # tiny images, 2 classes with an obvious color feature
+    rng = np.random.default_rng(0)
+    n = 16
+    labels = np.arange(n) % 2
+    imgs = np.zeros((n, 32, 32, 3), np.float32)
+    imgs[labels == 0, :, :, 0] = 0.8
+    imgs[labels == 1, :, :, 2] = 0.8
+    imgs += 0.05 * rng.standard_normal(imgs.shape).astype(np.float32)
+
+    model, state = init_inception_state(
+        2, jax.random.key(0), lr=1e-3, image_size=75
+    )
+    step = make_inception_train_step(model, lr=1e-3, image_size=75)
+    for _ in range(6):
+        state, mets = step(state, jnp.asarray(imgs), jnp.asarray(labels))
+    assert np.isfinite(float(mets["ce"]))
+    assert float(mets["acc"]) >= 0.75, float(mets["acc"])

@@ -118,3 +118,55 @@ def test_cli_smoke(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     runs = os.listdir(tmp_path)
     assert any("train" in d for d in runs)
+
+
+def test_speech_to_image_pipeline(tmp_path):
+    """wav -> image end-to-end through checkpoints (tiny config)."""
+    import jax
+    from s2i_tpu.audio.wavio import write_wav
+    from s2i_tpu.pipeline import SpeechToImage
+    from s2i_tpu.train import encoder as enc_train
+    from s2i_tpu.utils import CheckpointManager
+
+    cfg = tiny_cfg()
+    cfg.AUDIO.N_MELS = 8
+    cfg.AUDIO.MAX_FRAMES = 32
+    cfg.ENCODER.CONV_CHANNELS = [8, 16]
+    cfg.ENCODER.RNN_HIDDEN = 16
+    cfg.ENCODER.CLS_HEAD = False
+
+    # train nothing; just materialize checkpoints for both halves
+    out = str(tmp_path / "gan")
+    t = GanTrainer(cfg, out, gan_batch_factory(cfg))
+    t.ckpt.save(0, t.state, force=True)
+    t.ckpt.wait()
+    t.close()
+
+    model = enc_train.build_encoder(cfg)
+    dummy = {
+        "feats": np.zeros((1, 32, 8), np.float32),
+        "feat_mask": np.ones((1, 32), bool),
+    }
+    est = enc_train.init_encoder_state(cfg, model, jax.random.key(0), dummy)
+    emgr = CheckpointManager(str(tmp_path / "enc"))
+    emgr.save(0, est, force=True)
+    emgr.wait()
+    emgr.close()
+
+    pipe = SpeechToImage.from_checkpoints(
+        cfg, str(tmp_path / "enc"), os.path.join(out, "ckpt")
+    )
+    wav = np.sin(np.linspace(0, 800, 6000)).astype(np.float32)[None]
+    imgs = pipe.generate(wav, seed=3)
+    assert imgs.shape == (1, 64, 64, 3)
+    assert np.isfinite(imgs).all()
+    # determinism per seed
+    np.testing.assert_array_equal(imgs, pipe.generate(wav, seed=3))
+    assert not np.allclose(imgs, pipe.generate(wav, seed=4))
+
+    # file path
+    wp = str(tmp_path / "a.wav")
+    write_wav(wp, wav[0], 16000)
+    op = str(tmp_path / "a.png")
+    pipe.generate_files([wp], [op])
+    assert os.path.exists(op)
