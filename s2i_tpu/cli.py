@@ -107,6 +107,7 @@ def gan_batch_factory(cfg):
             int(cfg.TREE.BRANCH_NUM),
             int(cfg.TREE.BASE_SIZE),
             seed=int(cfg.SEED) + epoch,
+            num_threads=int(cfg.WORKERS),
         )
 
     return factory

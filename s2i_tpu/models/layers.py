@@ -12,7 +12,7 @@ fuses better under XLA).
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -19,7 +19,6 @@ counter, so resuming from a checkpoint reproduces the stream.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, NamedTuple
 
 import jax
