@@ -126,3 +126,18 @@ def test_frontend_consumes_speech_batches(fake_dataset):
     n_valid = int(mask[0].sum())
     # 8000 samples -> 1 + (8000-400)//160 = 48 valid frames
     assert n_valid == 48
+
+
+def test_grain_pipeline(fake_dataset):
+    from s2i_tpu.data.grain_pipeline import make_grain_gan_dataset
+
+    split = StackGanSplit(fake_dataset, "train")
+    ds = make_grain_gan_dataset(split, 4, 2, seed=5)
+    batches = list(ds)
+    assert len(batches) == N_IMG // 4
+    b = batches[0]
+    assert b["images"][1].shape == (4, 128, 128, 3)
+    assert b["embedding"].shape == (4, EMB)
+    # deterministic across re-iterations with the same seed
+    b2 = next(iter(make_grain_gan_dataset(split, 4, 2, seed=5)))
+    np.testing.assert_array_equal(b["embedding"], b2["embedding"])

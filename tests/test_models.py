@@ -124,3 +124,33 @@ def test_speech_encoder_shapes_and_mask_invariance():
     np.testing.assert_allclose(
         np.asarray(emb[1]), np.asarray(emb2[1]), rtol=2e-3, atol=2e-3
     )
+
+
+def test_gru_matches_torch_oracle():
+    """Cross-check the scan GRU against torch.nn.GRU with transplanted
+    weights (SURVEY.md §4: torch CPU as an independent second
+    implementation)."""
+    import torch
+
+    rng = np.random.default_rng(3)
+    b, t, c, h = 3, 11, 6, 5
+    x = rng.standard_normal((b, t, c)).astype(np.float32)
+    mask = jnp.ones((b, t), dtype=bool)
+
+    layer = GRULayer(hidden=h)
+    params = layer.init(jax.random.key(1), jnp.asarray(x), mask)
+    ys = np.asarray(layer.apply(params, jnp.asarray(x), mask))
+
+    p = jax.tree.map(np.asarray, params["params"])
+    wi, bi = p["input_proj"]["kernel"], p["input_proj"]["bias"]
+    wh, bh = p["recurrent_kernel"], p["recurrent_bias"]
+
+    tg = torch.nn.GRU(c, h, batch_first=True)
+    with torch.no_grad():
+        # torch gate order is (r, z, n) like ours; layouts are [3H, in]
+        tg.weight_ih_l0.copy_(torch.from_numpy(wi.T.copy()))
+        tg.weight_hh_l0.copy_(torch.from_numpy(wh.T.copy()))
+        tg.bias_ih_l0.copy_(torch.from_numpy(bi.copy()))
+        tg.bias_hh_l0.copy_(torch.from_numpy(bh.copy()))
+        out, _ = tg(torch.from_numpy(x))
+    np.testing.assert_allclose(ys, out.numpy(), rtol=1e-4, atol=1e-5)
