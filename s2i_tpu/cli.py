@@ -258,11 +258,24 @@ def run_encoder_pretrain(cfg, epochs: int | None = None) -> dict:
         state, step0 = restored
         print(f"resumed from step {step0}")
     logger = ScalarLogger(run_dir)
-    step_fn = jax.jit(enc_train.make_encoder_train_step(cfg, model))
+    mesh = make_mesh_if_configured(cfg)
+    if mesh is not None:
+        from s2i_tpu.parallel import (
+            make_parallel_encoder_step,
+            replicate_state,
+            shard_batch,
+        )
+
+        state = replicate_state(state, mesh)
+        step_fn = make_parallel_encoder_step(cfg, model, mesh)
+        prep = lambda b: shard_batch(b, mesh, str(cfg.MESH.DATA_AXIS))
+    else:
+        step_fn = jax.jit(enc_train.make_encoder_train_step(cfg, model))
+        prep = lambda b: b
     mets = {}
     for epoch in range(epochs or int(cfg.ENCODER.EPOCHS)):
         for batch in factory(epoch):
-            state, mets = step_fn(state, batch, jax.random.key(0))
+            state, mets = step_fn(state, prep(batch), jax.random.key(0))
         logger.log(int(state.step), {k: float(v) for k, v in mets.items()})
         ckpt.save(int(state.step), state)
     ckpt.wait()

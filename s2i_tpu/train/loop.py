@@ -59,6 +59,18 @@ class GanTrainer:
         if restored is not None:
             state, step = restored
             print(f"resumed from step {step}")
+        elif str(cfg.TRAIN.NET_G):
+            # Reference-parity warm start (cfg.TRAIN.NET_G): fresh run dir,
+            # weights from an existing training run's checkpoint tree.
+            src = CheckpointManager(str(cfg.TRAIN.NET_G))
+            warm = src.restore_latest(state)
+            src.close()
+            if warm is None:
+                raise FileNotFoundError(
+                    f"TRAIN.NET_G={cfg.TRAIN.NET_G!r} has no checkpoint"
+                )
+            state = warm[0]
+            print(f"warm-started from {cfg.TRAIN.NET_G} step {warm[1]}")
         if mesh is not None:
             state = replicate_state(state, mesh)
             self.step_fn = make_parallel_train_step(cfg, self.models, mesh)
