@@ -1,0 +1,76 @@
+"""Config-system tests: YAML merge semantics, type checking, overrides,
+dump round-trip, CLI resolution precedence."""
+
+import numpy as np
+import pytest
+
+from s2i_tpu import cli, config
+
+
+def test_defaults_have_reference_keys():
+    c = config.default_cfg()
+    # the reference script surface (SURVEY.md §2 "Config system")
+    assert c.TRAIN.BATCH_SIZE == 24
+    assert c.GAN.GF_DIM == 64
+    assert c.TEXT.DIMENSION == 1024
+    assert c.TREE.BRANCH_NUM == 3
+    assert c.TRAIN.COEFF.KL == 2.0
+
+
+def test_yaml_merge_and_unknown_keys():
+    c = config.cfg_from_string(
+        "TRAIN:\n  BATCH_SIZE: 32\n  NEW_KEY: hello\nGAN:\n  GF_DIM: 32\n"
+    )
+    assert c.TRAIN.BATCH_SIZE == 32
+    assert c.TRAIN.NEW_KEY == "hello"  # easydict-style: unknown keys allowed
+    assert c.GAN.GF_DIM == 32
+    assert c.TRAIN.MAX_EPOCH == 600  # untouched defaults survive
+
+
+def test_type_mismatch_raises():
+    with pytest.raises(TypeError):
+        config.cfg_from_string("TRAIN:\n  BATCH_SIZE: 'twenty'\n")
+    with pytest.raises(TypeError):
+        config.cfg_from_string("TRAIN:\n  FLAG: 3\n")
+    # int→float promotion allowed
+    c = config.cfg_from_string("TRAIN:\n  GENERATOR_LR: 1\n")
+    assert c.TRAIN.GENERATOR_LR == 1
+
+
+def test_apply_overrides_nested():
+    c = config.default_cfg()
+    config.apply_overrides(
+        c, ["TRAIN.COEFF.KL=4.5", "GAN.GF_DIM=16", "TRAIN.FLAG=false"]
+    )
+    assert c.TRAIN.COEFF.KL == 4.5
+    assert c.GAN.GF_DIM == 16
+    assert c.TRAIN.FLAG is False
+    with pytest.raises(ValueError):
+        config.apply_overrides(c, ["NO_EQUALS_SIGN"])
+
+
+def test_dump_roundtrip(tmp_path):
+    c = config.default_cfg()
+    c.TRAIN.BATCH_SIZE = 7
+    p = str(tmp_path / "c.yml")
+    config.dump_cfg(c, p)
+    c2 = config.cfg_from_file(p)
+    assert c2 == c
+
+
+def test_cli_resolution_precedence(tmp_path):
+    cfg_file = tmp_path / "x.yml"
+    cfg_file.write_text("DATA_DIR: from_yaml\nSEED: 5\n")
+    parser = cli.base_parser("t")
+    args = parser.parse_args(
+        [
+            "--cfg", str(cfg_file),
+            "--data_dir", "from_flag",
+            "--manualSeed", "9",
+            "--set", "TRAIN.BATCH_SIZE=3",
+        ]
+    )
+    c = cli.resolve_cfg(args)
+    assert c.DATA_DIR == "from_flag"  # flag beats yaml
+    assert c.SEED == 9
+    assert c.TRAIN.BATCH_SIZE == 3
