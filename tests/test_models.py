@@ -154,3 +154,26 @@ def test_gru_matches_torch_oracle():
         tg.bias_hh_l0.copy_(torch.from_numpy(bh.copy()))
         out, _ = tg(torch.from_numpy(x))
     np.testing.assert_allclose(ys, out.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_downblock_matches_torch_conv():
+    """Cross-check the NHWC 4x4/stride-2 D conv against torch's NCHW conv
+    with transplanted weights (padding/orientation fidelity)."""
+    import torch
+    from s2i_tpu.models.layers import DownBlock
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    blk = DownBlock(features=8, use_bn=False)
+    v = blk.init(jax.random.key(0), jnp.asarray(x), train=False)
+    out = np.asarray(blk.apply(v, jnp.asarray(x), train=False))
+
+    w = np.asarray(v["params"]["Conv_0"]["kernel"])  # HWIO
+    tc = torch.nn.Conv2d(3, 8, 4, stride=2, padding=1, bias=False)
+    with torch.no_grad():
+        tc.weight.copy_(torch.from_numpy(w.transpose(3, 2, 0, 1).copy()))
+        tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ty = torch.nn.functional.leaky_relu(tc(tx), 0.2)
+    np.testing.assert_allclose(
+        out, ty.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5
+    )

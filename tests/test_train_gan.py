@@ -134,3 +134,32 @@ def test_sample_fn_deterministic():
     assert len(imgs1) == 2 and imgs1[-1].shape == (8, 128, 128, 3)
     np.testing.assert_array_equal(np.asarray(imgs1[0]), np.asarray(imgs2[0]))
     assert not np.allclose(np.asarray(imgs1[0]), np.asarray(imgs3[0]))
+
+
+def test_overfit_one_batch_stage1():
+    """SURVEY.md §4 'overfit-one-batch': on a single repeated batch the GAN
+    should drive D to near-perfect real/fake separation while G's samples
+    drift toward the data's channel statistics."""
+    cfg = tiny_cfg(branch_num=1)
+    cfg.TRAIN.COEFF.COLOR_LOSS = 0.0
+    models = gan.build_models(cfg)
+    ds, batch = gan_batch(cfg)
+    state = gan.init_state(cfg, models, jax.random.key(0), batch)
+    step = jax.jit(gan.make_train_step(cfg, models))
+    sample = jax.jit(gan.make_sample_fn(cfg, models, use_ema=False))
+    emb = jnp.asarray(batch["embedding"])
+
+    real_mean = float(np.asarray(batch["images"][0]).mean())
+    init_imgs = np.asarray(sample(state, emb, jax.random.key(5))[0])
+    init_gap = abs(float(init_imgs.mean()) - real_mean)
+
+    for _ in range(60):
+        state, mets = step(state, batch, jax.random.key(1))
+
+    assert float(mets["d0_real_acc"]) > 0.8
+    assert float(mets["d0_fake_acc"]) > 0.8
+    final_imgs = np.asarray(sample(state, emb, jax.random.key(5))[0])
+    final_gap = abs(float(final_imgs.mean()) - real_mean)
+    # G's global statistics should move toward the (single) real batch
+    assert final_gap < init_gap + 0.05
+    assert np.isfinite(final_imgs).all()
