@@ -25,15 +25,24 @@ from flax import linen as nn
 
 
 class GRULayer(nn.Module):
-    """Single-direction GRU over time-major input with hoisted input proj."""
+    """Single-direction GRU over time-major input with hoisted input proj.
+
+    On TPU the recurrence runs as the fused Pallas kernel
+    (s2i_tpu.ops.gru_kernel: weights + hidden state pinned in VMEM across the
+    whole sequence, custom VJP); elsewhere — and when ``use_pallas=False`` —
+    the mathematically identical ``lax.scan`` path runs.
+    """
 
     hidden: int
     reverse: bool = False
     dtype: Any = jnp.float32
+    use_pallas: bool | None = None  # None = auto (pallas iff on TPU)
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
         """x: [B, T, C], mask: [B, T] → outputs [B, T, hidden]."""
+        from s2i_tpu.ops.gru_kernel import fused_gru, gru_scan_reference
+
         b, t, _ = x.shape
         h0 = jnp.zeros((b, self.hidden), dtype=jnp.float32)
         # One matmul for r/z/n input projections of every timestep.
@@ -49,20 +58,20 @@ class GRULayer(nn.Module):
             "recurrent_bias", nn.initializers.zeros, (3 * self.hidden,), jnp.float32
         )
 
-        def step(h, inp):
-            xw_t, m_t = inp  # [B, 3H], [B]
-            hw = h @ w_h + b_h
-            xr, xz, xn = jnp.split(xw_t, 3, axis=-1)
-            hr, hz, hn = jnp.split(hw, 3, axis=-1)
-            r = nn.sigmoid(xr + hr)
-            z = nn.sigmoid(xz + hz)
-            n = jnp.tanh(xn + r * hn)
-            h_new = (1.0 - z) * n + z * h
-            h = jnp.where(m_t[:, None], h_new, h)  # freeze through padding
-            return h, h
+        xw_t = jnp.moveaxis(xw, 1, 0)  # [T, B, 3H]
+        mask_t = jnp.moveaxis(mask, 1, 0).astype(jnp.float32)
+        if self.reverse:
+            xw_t = jnp.flip(xw_t, axis=0)
+            mask_t = jnp.flip(mask_t, axis=0)
 
-        xs = (jnp.moveaxis(xw, 1, 0), jnp.moveaxis(mask, 1, 0))
-        _, ys = jax.lax.scan(step, h0, xs, reverse=self.reverse)
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        fn = fused_gru if use_pallas else gru_scan_reference
+        ys = fn(xw_t, w_h, b_h, mask_t, h0)
+
+        if self.reverse:
+            ys = jnp.flip(ys, axis=0)
         return jnp.moveaxis(ys, 0, 1).astype(self.dtype)  # [B, T, H]
 
 
