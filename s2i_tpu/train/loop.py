@@ -93,6 +93,20 @@ class GanTrainer:
         mets = {}
         t0 = time.time()
         imgs_done = 0
+
+        # Preemption robustness (SURVEY.md §5 "Failure detection"): on
+        # SIGTERM, finish the in-flight step, checkpoint, and stop cleanly —
+        # auto-resume picks up from here on restart.
+        stop_requested = []
+        prev_handler = None
+        try:
+            import signal
+
+            prev_handler = signal.signal(
+                signal.SIGTERM, lambda *_: stop_requested.append(True)
+            )
+        except ValueError:
+            pass  # not the main thread; skip the handler
         from s2i_tpu.data.pipeline import prefetch
 
         debug_nans = bool(cfg.TRAIN.DEBUG_NANS)
@@ -133,6 +147,15 @@ class GanTrainer:
                     self._save_grid(step)
                 if snapshot and step % snapshot == 0:
                     self.ckpt.save(step, self.state)
+                if stop_requested:
+                    break
+            if stop_requested:
+                print(f"SIGTERM: checkpointing at step {int(self.state.step)}")
+                break
+        if prev_handler is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, prev_handler)
         step = int(self.state.step)
         if self.ckpt.latest_step != step:
             self.ckpt.save(step, self.state, force=True)

@@ -170,3 +170,24 @@ def test_speech_to_image_pipeline(tmp_path):
     op = str(tmp_path / "a.png")
     pipe.generate_files([wp], [op])
     assert os.path.exists(op)
+
+
+def test_sigterm_checkpoints_and_stops(tmp_path):
+    """SIGTERM mid-training → clean stop with a checkpoint at the
+    interrupted step (preemption robustness)."""
+    import signal
+    import threading
+
+    cfg = tiny_cfg()
+    cfg.TRAIN.SNAPSHOT_INTERVAL = 10**9  # only the final save may happen
+    out = str(tmp_path / "run")
+    t = GanTrainer(cfg, out, gan_batch_factory(cfg))
+    # deliver SIGTERM to ourselves shortly after training starts
+    killer = threading.Timer(3.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    killer.start()
+    t.train(max_epoch=50)  # would run 800 steps if not interrupted
+    steps = int(t.state.step)
+    assert 0 < steps < 800
+    assert t.ckpt.latest_step == steps
+    t.close()
+    killer.cancel()
