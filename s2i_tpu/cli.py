@@ -113,12 +113,102 @@ def gan_batch_factory(cfg):
     return factory
 
 
+def joint_batch_factory(cfg):
+    """GAN batches + on-device mel features of the SAME caption's wav +
+    teacher embedding (joint finetune, SURVEY.md §3.5)."""
+    import jax.numpy as jnp
+
+    from s2i_tpu.audio import extract_features, frontend_params_from_cfg
+
+    p = frontend_params_from_cfg(cfg.AUDIO)
+    use_pallas = _on_tpu()
+
+    def featurize(b: dict) -> dict:
+        feats, mask = extract_features(
+            jnp.asarray(b.pop("wav")),
+            p,
+            use_pallas=use_pallas,
+            wav_len=jnp.asarray(b.pop("wav_len")),
+        )
+        return {**b, "feats": feats, "feat_mask": mask}
+
+    if cfg.DATASET_NAME == "synthetic":
+        from s2i_tpu.data import SyntheticGanDataset, SyntheticSpeechDataset
+
+        gan_ds = SyntheticGanDataset(
+            branch_num=int(cfg.TREE.BRANCH_NUM),
+            base_size=int(cfg.TREE.BASE_SIZE),
+            emb_dim=int(cfg.TEXT.DIMENSION),
+            seed=int(cfg.SEED),
+        )
+        sp_ds = SyntheticSpeechDataset(
+            num_classes=8,
+            examples_per_class=16,
+            max_frames=int(cfg.AUDIO.MAX_FRAMES),
+            n_mels=int(cfg.AUDIO.N_MELS),
+            emb_dim=int(cfg.TEXT.DIMENSION),
+            seed=int(cfg.SEED),
+        )
+        bs = int(cfg.TRAIN.BATCH_SIZE)
+        steps = max(1, gan_ds.n // bs)
+
+        def factory(epoch: int):
+            rng = np.random.default_rng(int(cfg.SEED) + epoch)
+            for _ in range(steps):
+                idx = rng.integers(0, gan_ds.n, size=bs)
+                gb = gan_ds.batch(idx)
+                sb = sp_ds.batch(idx)
+                yield {
+                    "images": gb["images"],
+                    "embedding": gb["embedding"],
+                    "feats": sb["feats"],
+                    "feat_mask": sb["feat_mask"],
+                    "teacher": sb["teacher"],
+                }
+
+        return factory
+
+    from s2i_tpu.data.stackgan import GanEpochIterator, StackGanSplit
+
+    split = StackGanSplit(
+        cfg.DATA_DIR, "train", embedding_file=str(cfg.TEXT.EMBEDDING_FILE)
+    )
+    max_samples = (p.max_frames - 1) * p.hop_length + p.win_length
+
+    def factory(epoch: int):
+        it = GanEpochIterator(
+            split,
+            int(cfg.TRAIN.BATCH_SIZE),
+            int(cfg.TREE.BRANCH_NUM),
+            int(cfg.TREE.BASE_SIZE),
+            seed=int(cfg.SEED) + epoch,
+            num_threads=int(cfg.WORKERS),
+            with_audio=True,
+            sample_rate=p.sample_rate,
+            max_samples=max_samples,
+        )
+        return (featurize(b) for b in it)
+
+    return factory
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def run_gan_training(cfg, max_epoch: int | None = None) -> dict:
     from s2i_tpu.train.loop import GanTrainer
 
     run_dir = make_run_dir(cfg, "train")
+    factory = (
+        joint_batch_factory(cfg)
+        if bool(cfg.TRAIN.JOINT_FT)
+        else gan_batch_factory(cfg)
+    )
     trainer = GanTrainer(
-        cfg, run_dir, gan_batch_factory(cfg), mesh=make_mesh_if_configured(cfg)
+        cfg, run_dir, factory, mesh=make_mesh_if_configured(cfg)
     )
     try:
         mets = trainer.train(max_epoch)
@@ -153,7 +243,14 @@ def run_sampling(cfg) -> str:
         emb = split.embeddings[:, 0]
         names = [f.replace("/", "_") for f in split.filenames]
 
-    trainer = GanTrainer(cfg, run_dir, gan_batch_factory(cfg))
+    # joint-trained checkpoints carry encoder params — keep the state
+    # structure consistent by building with the joint factory too
+    factory = (
+        joint_batch_factory(cfg)
+        if bool(cfg.TRAIN.JOINT_FT)
+        else gan_batch_factory(cfg)
+    )
+    trainer = GanTrainer(cfg, run_dir, factory)
     try:
         # restore G from cfg.TRAIN.NET_G if given (dir of orbax ckpts)
         if cfg.TRAIN.NET_G:

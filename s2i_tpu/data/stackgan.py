@@ -237,6 +237,9 @@ class GanEpochIterator:
         drop_last: bool = True,
         use_native: bool | None = None,
         num_threads: int = 8,
+        with_audio: bool = False,
+        sample_rate: int = 16000,
+        max_samples: int = 164240,
     ):
         self.split = split
         self.batch_size = batch_size
@@ -246,6 +249,11 @@ class GanEpochIterator:
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
         self.num_threads = num_threads
+        # Joint-finetune mode (SURVEY.md §3.5): also yield the raw wav of the
+        # SAME sampled caption plus its teacher embedding.
+        self.with_audio = with_audio
+        self.sample_rate = sample_rate
+        self.max_samples = max_samples
         if use_native is None:
             from s2i_tpu import native
 
@@ -308,8 +316,20 @@ class GanEpochIterator:
                 scales = self._load_scales_pil(idx)
             cap = self.rng.integers(0, self.split.captions_per_image, len(idx))
             emb = self.split.embeddings[idx, cap]
-            yield {
+            out = {
                 "images": tuple(scales),
                 "embedding": emb.astype(np.float32),
                 "class_id": self.split.class_id[idx],
             }
+            if self.with_audio:
+                wavs = np.zeros((len(idx), self.max_samples), np.float32)
+                lens = np.zeros(len(idx), np.int32)
+                for j, (i, c) in enumerate(zip(idx, cap)):
+                    x = self.split.load_wav(int(i), int(c), self.sample_rate)
+                    m = min(len(x), self.max_samples)
+                    wavs[j, :m] = x[:m]
+                    lens[j] = m
+                out["wav"] = wavs
+                out["wav_len"] = lens
+                out["teacher"] = out["embedding"]
+            yield out

@@ -71,6 +71,11 @@ class GanTrainer:
                 )
             state = warm[0]
             print(f"warm-started from {cfg.TRAIN.NET_G} step {warm[1]}")
+        if joint and str(cfg.TRAIN.NET_E) and restored is None:
+            # Joint finetune (SURVEY.md §3.5): the speech encoder warm-starts
+            # from its distillation-pretrain checkpoint. The pretrain encoder
+            # carries an extra class head, so matching subtrees are grafted.
+            state = self._graft_encoder(state, str(cfg.TRAIN.NET_E), first)
         if mesh is not None:
             state = replicate_state(state, mesh)
             self.step_fn = make_parallel_train_step(cfg, self.models, mesh)
@@ -78,6 +83,41 @@ class GanTrainer:
             self.step_fn = jax.jit(gan.make_train_step(cfg, self.models))
         self.state = state
         self.sample_fn = jax.jit(gan.make_sample_fn(cfg, self.models))
+
+    def _graft_encoder(self, state, net_e: str, first_batch: dict):
+        from s2i_tpu.train import encoder as enc_train
+
+        pe = enc_train.build_encoder(self.cfg)
+        dummy = {
+            "feats": np.asarray(first_batch["feats"][:1]),
+            "feat_mask": np.asarray(first_batch["feat_mask"][:1]),
+        }
+        template = enc_train.init_encoder_state(
+            self.cfg, pe, jax.random.key(0), dummy
+        )
+        mgr = CheckpointManager(net_e)
+        restored = mgr.restore_latest(template)
+        mgr.close()
+        if restored is None:
+            raise FileNotFoundError(f"TRAIN.NET_E={net_e!r} has no checkpoint")
+        enc_state, estep = restored
+
+        def graft(dst: dict, src: dict) -> dict:
+            return {
+                k: (
+                    graft(v, src[k])
+                    if isinstance(v, dict) and k in src
+                    else (src.get(k, v) if isinstance(src, dict) else v)
+                )
+                for k, v in dst.items()
+            }
+
+        g_params = dict(state.g_params)
+        g_stats = dict(state.g_stats)
+        g_params["enc"] = graft(g_params["enc"], dict(enc_state.params))
+        g_stats["enc"] = graft(g_stats["enc"], dict(enc_state.batch_stats))
+        print(f"encoder warm-started from {net_e} step {estep}")
+        return state.replace(g_params=g_params, g_stats=g_stats)
 
     def _prep(self, batch: dict) -> dict:
         batch = {k: v for k, v in batch.items() if k != "class_id"}

@@ -191,3 +191,32 @@ def test_sigterm_checkpoints_and_stops(tmp_path):
     assert t.ckpt.latest_step == steps
     t.close()
     killer.cancel()
+
+
+def test_joint_training_cli_with_encoder_warmstart(tmp_path):
+    """Full joint-finetune workflow (SURVEY.md §3.5): distillation-pretrain
+    an encoder, then joint GAN training warm-starts from its checkpoint via
+    TRAIN.NET_E and updates encoder params."""
+    import jax
+    from s2i_tpu import cli
+
+    cfg = tiny_cfg()
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.TRAIN.JOINT_FT = True
+    cfg.TRAIN.COEFF.DISTILL = 1.0
+    cfg.TRAIN.MAX_EPOCH = 1
+    cfg.ENCODER.CONV_CHANNELS = [8, 16]
+    cfg.ENCODER.RNN_HIDDEN = 16
+    cfg.ENCODER.N_CLASSES = 8
+    cfg.ENCODER.BATCH_SIZE = 16
+    cfg.AUDIO.N_MELS = 8
+    cfg.AUDIO.MAX_FRAMES = 32
+    cfg.MESH.NUM_DEVICES = 1  # force single-device jit path
+
+    cli.run_encoder_pretrain(cfg, epochs=1)
+    enc_run = [d for d in os.listdir(tmp_path) if "encoder" in d][0]
+    cfg.TRAIN.NET_E = os.path.join(str(tmp_path), enc_run, "ckpt")
+
+    mets = cli.run_gan_training(cfg, max_epoch=1)
+    assert np.isfinite(mets["g_loss"])
+    assert "distill_mse" in mets
