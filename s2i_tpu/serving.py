@@ -1,0 +1,150 @@
+"""Minimal production serving layer: HTTP → SpeechToImage pipeline.
+
+Stdlib-only (http.server) so it runs anywhere the framework does. The device
+work is the single jitted wav→image program from :mod:`s2i_tpu.pipeline`;
+requests are micro-batched by a background collator thread so concurrent
+clients share one TPU dispatch (static batch shape = compiled once).
+
+    POST /generate   body: WAV bytes (PCM16/float32)   → PNG bytes
+    GET  /healthz                                       → {"status": "ok"}
+
+CLI: ``python scripts/serve.py --cfg ... --encoder_ckpt ... --gan_ckpt ...``
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from s2i_tpu.audio.wavio import resample_linear
+from s2i_tpu.pipeline import SpeechToImage
+
+
+class _Job:
+    def __init__(self, wav: np.ndarray, n: int):
+        self.wav = wav
+        self.n = n
+        self.done = threading.Event()
+        self.result: np.ndarray | None = None
+        self.error: str | None = None
+
+
+class Batcher:
+    """Collates jobs into fixed-size device batches (pad with zeros)."""
+
+    def __init__(self, pipe: SpeechToImage, batch_size: int = 8, wait_ms: int = 5):
+        self.pipe = pipe
+        self.batch_size = batch_size
+        self.wait_s = wait_ms / 1000.0
+        p = pipe.p
+        self.max_samples = (p.max_frames - 1) * p.hop_length + p.win_length
+        self._q: queue.Queue[_Job] = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, wav: np.ndarray) -> _Job:
+        job = _Job(wav, min(len(wav), self.max_samples))
+        self._q.put(job)
+        return job
+
+    def _run(self) -> None:
+        while True:
+            jobs = [self._q.get()]
+            try:
+                while len(jobs) < self.batch_size:
+                    jobs.append(self._q.get(timeout=self.wait_s))
+            except queue.Empty:
+                pass
+            wavs = np.zeros((self.batch_size, self.max_samples), np.float32)
+            lens = np.zeros(self.batch_size, np.int32)
+            for j, job in enumerate(jobs):
+                wavs[j, : job.n] = job.wav[: job.n]
+                lens[j] = job.n
+            try:
+                imgs = self.pipe.generate(wavs, lens)
+                for j, job in enumerate(jobs):
+                    job.result = imgs[j]
+            except Exception as e:  # propagate to every waiter
+                for job in jobs:
+                    job.error = f"{type(e).__name__}: {e}"
+            for job in jobs:
+                job.done.set()
+
+
+def _decode_wav_bytes(data: bytes, target_sr: int) -> np.ndarray:
+    with wave.open(io.BytesIO(data), "rb") as w:
+        sr = w.getframerate()
+        raw = w.readframes(w.getnframes())
+        width = w.getsampwidth()
+        ch = w.getnchannels()
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return resample_linear(x, sr, target_sr)
+
+
+def make_server(
+    pipe: SpeechToImage, host: str = "127.0.0.1", port: int = 8500,
+    batch_size: int = 8,
+) -> ThreadingHTTPServer:
+    batcher = Batcher(pipe, batch_size)
+    sample_rate = pipe.p.sample_rate
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok"})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                wav = _decode_wav_bytes(self.rfile.read(n), sample_rate)
+            except Exception as e:
+                self._json(400, {"error": f"bad wav: {e}"})
+                return
+            job = batcher.submit(wav)
+            job.done.wait(timeout=120)
+            if job.error or job.result is None:
+                self._json(500, {"error": job.error or "timeout"})
+                return
+            from PIL import Image
+
+            from s2i_tpu.utils.images import to_uint8
+
+            buf = io.BytesIO()
+            Image.fromarray(to_uint8(job.result)).save(buf, format="PNG")
+            png = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(png)))
+            self.end_headers()
+            self.wfile.write(png)
+
+    return ThreadingHTTPServer((host, port), Handler)

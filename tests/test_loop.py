@@ -220,3 +220,69 @@ def test_joint_training_cli_with_encoder_warmstart(tmp_path):
     mets = cli.run_gan_training(cfg, max_epoch=1)
     assert np.isfinite(mets["g_loss"])
     assert "distill_mse" in mets
+
+
+def test_http_serving_roundtrip(tmp_path):
+    """Spin up the HTTP server on a random port, POST a wav, get a PNG."""
+    import io
+    import threading
+    import urllib.request
+
+    import jax
+    from s2i_tpu.audio.wavio import write_wav
+    from s2i_tpu.pipeline import SpeechToImage
+    from s2i_tpu.serving import make_server
+    from s2i_tpu.train import encoder as enc_train
+    from s2i_tpu.utils import CheckpointManager
+
+    cfg = tiny_cfg()
+    cfg.AUDIO.N_MELS = 8
+    cfg.AUDIO.MAX_FRAMES = 32
+    cfg.ENCODER.CONV_CHANNELS = [8, 16]
+    cfg.ENCODER.RNN_HIDDEN = 16
+    cfg.ENCODER.CLS_HEAD = False
+
+    out = str(tmp_path / "gan")
+    t = GanTrainer(cfg, out, gan_batch_factory(cfg))
+    t.ckpt.save(0, t.state, force=True)
+    t.ckpt.wait()
+    t.close()
+    model = enc_train.build_encoder(cfg)
+    dummy = {
+        "feats": np.zeros((1, 32, 8), np.float32),
+        "feat_mask": np.ones((1, 32), bool),
+    }
+    est = enc_train.init_encoder_state(cfg, model, jax.random.key(0), dummy)
+    emgr = CheckpointManager(str(tmp_path / "enc"))
+    emgr.save(0, est, force=True)
+    emgr.wait()
+    emgr.close()
+
+    pipe = SpeechToImage.from_checkpoints(
+        cfg, str(tmp_path / "enc"), os.path.join(out, "ckpt")
+    )
+    srv = make_server(pipe, "127.0.0.1", 0, batch_size=2)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert b"ok" in r.read()
+        buf = io.BytesIO()
+        wav = (0.4 * np.sin(np.linspace(0, 600, 5000))).astype(np.float32)
+        wp = str(tmp_path / "req.wav")
+        write_wav(wp, wav, 16000)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=open(wp, "rb").read(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            png = r.read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(png))
+        assert img.size == (64, 64)
+    finally:
+        srv.shutdown()
