@@ -61,7 +61,7 @@ def _fwd_kernel(xw_ref, wh_ref, bh_ref, mask_ref, h0_ref, ys_ref, h_scr):
         + bh_ref[:]
     )
     _, _, _, _, h_new = _gates(xw_ref[0], hw, h_prev)
-    m = mask_ref[0][:, None]
+    m = mask_ref[0]  # [B, 1]
     h = jnp.where(m > 0, h_new, h_prev)
     h_scr[:] = h
     ys_ref[0] = h
@@ -90,7 +90,7 @@ def _bwd_kernel(
     r, z, n, hn, _ = _gates(xw_ref[0], hw, h_prev)
 
     dh_total = dys_ref[0] + dh_scr[:]
-    m = mask_ref[0][:, None]
+    m = mask_ref[0]  # [B, 1]
     dh_upd = jnp.where(m > 0, dh_total, 0.0)  # grad into the GRU update
     dh_skip = jnp.where(m > 0, 0.0, dh_total)  # masked steps: pass-through
 
@@ -128,7 +128,7 @@ def _pad_args(xw, w_h, b_h, mask, h0):
     bp = _round_up(b, 8)
     hp = _round_up(h, 128)
     if (bp, hp) == (b, h):
-        return xw, w_h, b_h, mask, h0, b, h
+        return xw, w_h, b_h, mask[..., None], h0, b, h
     xw_p = jnp.zeros((t, bp, 3 * hp), xw.dtype)
     for g in range(3):
         xw_p = xw_p.at[:, :b, g * hp : g * hp + h].set(
@@ -142,7 +142,7 @@ def _pad_args(xw, w_h, b_h, mask, h0):
     bh_p = jnp.zeros((3 * hp,), b_h.dtype)
     for g in range(3):
         bh_p = bh_p.at[g * hp : g * hp + h].set(b_h[g * h : (g + 1) * h])
-    mask_p = jnp.zeros((t, bp), mask.dtype).at[:, :b].set(mask)
+    mask_p = jnp.zeros((t, bp, 1), mask.dtype).at[:, :b, 0].set(mask)
     h0_p = jnp.zeros((bp, hp), h0.dtype).at[:b, :h].set(h0)
     return xw_p, wh_p, bh_p, mask_p, h0_p, b, h
 
@@ -163,7 +163,7 @@ def _fwd_call(xw, w_h, b_h, mask, h0):
             pl.BlockSpec((1, b, h3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((h, h3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -178,7 +178,6 @@ def _bwd_call(xw, w_h, b_h, mask, h0, ys, dys):
     t, b, h3 = xw.shape
     h = h3 // 3
     rev = lambda i: (t - 1 - i, 0, 0)  # noqa: E731
-    rev2 = lambda i: (t - 1 - i, 0)  # noqa: E731
     full = lambda i: (0, 0)  # noqa: E731
     # ys_prev[t] = ys[t-1]; prepend a zero row (replaced by h0 in-kernel).
     ys_prev = jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
@@ -195,7 +194,7 @@ def _bwd_call(xw, w_h, b_h, mask, h0, ys, dys):
             pl.BlockSpec((1, b, h3), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((h, h3), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h3), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b), rev2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 1), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
