@@ -126,3 +126,58 @@ def test_inception_finetune_step_learns():
         state, mets = step(state, jnp.asarray(imgs), jnp.asarray(labels))
     assert np.isfinite(float(mets["ce"]))
     assert float(mets["acc"]) >= 0.75, float(mets["acc"])
+
+
+def test_torch_weight_mapper_full_roundtrip():
+    """Structural coverage: reverse-generate a torch-layout state_dict from
+    the Flax model's own variables, map it back, and require the result to
+    be tree-identical — proves the mapper covers EVERY layer of the model
+    and uses the right layout transforms."""
+    import jax
+    import jax.numpy as jnp
+
+    from s2i_tpu.eval.weights import load_torch_inception
+    from s2i_tpu.models.inception import InceptionV3
+
+    model = InceptionV3(num_classes=7)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 75, 75, 3), jnp.float32)
+    )
+    params, stats = variables["params"], variables["batch_stats"]
+
+    sd = {}
+
+    def walk(ptree, stree, prefix):
+        if "conv" in ptree and "bn" in ptree:
+            sd[prefix + "conv.weight"] = np.asarray(
+                ptree["conv"]["kernel"]
+            ).transpose(3, 2, 0, 1)
+            sd[prefix + "bn.weight"] = np.asarray(ptree["bn"]["scale"])
+            sd[prefix + "bn.bias"] = np.asarray(ptree["bn"]["bias"])
+            sd[prefix + "bn.running_mean"] = np.asarray(stree["bn"]["mean"])
+            sd[prefix + "bn.running_var"] = np.asarray(stree["bn"]["var"])
+            return
+        for k in ptree:
+            walk(ptree[k], stree.get(k, {}), prefix + k + ".")
+
+    for top in params:
+        if top == "fc":
+            sd["fc.weight"] = np.asarray(params["fc"]["kernel"]).T
+            sd["fc.bias"] = np.asarray(params["fc"]["bias"])
+        else:
+            walk(params[top], stats.get(top, {}), top + ".")
+
+    out = load_torch_inception(sd, num_classes=7)
+
+    flat_a = jax.tree.leaves_with_path({"params": params, "batch_stats": stats})
+    flat_b = jax.tree.leaves_with_path(out)
+    paths_a = {jax.tree_util.keystr(p) for p, _ in flat_a}
+    paths_b = {jax.tree_util.keystr(p) for p, _ in flat_b}
+    assert paths_a == paths_b, (
+        f"missing: {paths_a - paths_b}\nextra: {paths_b - paths_a}"
+    )
+    key = lambda item: jax.tree_util.keystr(item[0])  # noqa: E731
+    for (pa, va), (pb, vb) in zip(sorted(flat_a, key=key), sorted(flat_b, key=key)):
+        np.testing.assert_array_equal(
+            np.asarray(va), np.asarray(vb), err_msg=jax.tree_util.keystr(pa)
+        )
