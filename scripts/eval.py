@@ -18,15 +18,43 @@ def load_dir(d, limit=None):
     )
 
 
+def retrieval_main(args):
+    import pickle
+
+    from s2i_tpu.eval import retrieval_metrics
+
+    def load(path):
+        with open(path, "rb") as f:
+            e = pickle.load(f)
+        e = np.asarray(e, np.float32)
+        return e.reshape(-1, e.shape[-1])
+
+    q, t = load(args.retrieval[0]), load(args.retrieval[1])
+    n = min(len(q), len(t))
+    m = retrieval_metrics(q[:n], t[:n])
+    import json
+
+    print(json.dumps(m, indent=2))
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--gen_dir", required=True, help="generated images")
+    p.add_argument(
+        "--retrieval", nargs=2, metavar=("QUERY_PKL", "TARGET_PKL"),
+        help="speech<->teacher retrieval eval over two embedding pickles",
+    )
+    p.add_argument("--gen_dir", default=None, help="generated images")
     p.add_argument("--real_dir", default=None, help="real images (for FID)")
     p.add_argument("--weights", default=None, help="Inception weights (.npz flax / .pth torch)")
     p.add_argument("--splits", type=int, default=10)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--limit", type=int, default=None)
     args = p.parse_args()
+    if args.retrieval:
+        retrieval_main(args)
+        return
+    if not args.gen_dir:
+        p.error("--gen_dir required (or use --retrieval)")
 
     from s2i_tpu.eval import InceptionFeatures, fid_score, inception_score
 
