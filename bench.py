@@ -66,4 +66,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import time as _time
+
+    # The relay's remote-compile service occasionally drops a response
+    # mid-body (INTERNAL error); one retry after a cool-down recovers it.
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — transient relay errors
+        print(f"# bench attempt 1 failed ({type(e).__name__}: {e}); retrying",
+              flush=True)
+        _time.sleep(30)
+        main()

@@ -286,3 +286,19 @@ def test_http_serving_roundtrip(tmp_path):
         assert img.size == (64, 64)
     finally:
         srv.shutdown()
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    """TRAIN.PROFILE_DIR captures a jax.profiler trace of steps 5-10."""
+    cfg = tiny_cfg()
+    cfg.TRAIN.PROFILE_DIR = str(tmp_path / "trace")
+    cfg.TRAIN.MAX_EPOCH = 1
+    out = str(tmp_path / "run")
+    t = GanTrainer(cfg, out, gan_batch_factory(cfg))
+    t.train(max_epoch=1)
+    t.close()
+    # a plugins/profile/<ts>/ tree with at least one trace artifact
+    found = []
+    for root, _dirs, files in os.walk(tmp_path / "trace"):
+        found.extend(files)
+    assert found, "no profiler artifacts written"
