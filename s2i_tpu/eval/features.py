@@ -26,13 +26,23 @@ class InceptionFeatures:
         num_classes: int = 1000,
         rng_seed: int = 0,
         image_size: int = 299,
+        mesh: Any | None = None,
     ):
+        """``mesh``: a 1-D data mesh → batches shard over it and the
+        Inception pass runs SPMD (BASELINE.json's pod-sharded eval), with
+        params replicated. None = single device."""
         self.model = InceptionV3(num_classes=num_classes)
         self.image_size = image_size
         if variables is None:
             # Random weights: metric *plumbing* only (tests, smoke runs).
             dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
             variables = self.model.init(jax.random.key(rng_seed), dummy)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._batch_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+            variables = jax.device_put(variables, NamedSharding(mesh, P()))
         self.variables = variables
 
         @jax.jit
@@ -58,7 +68,10 @@ class InceptionFeatures:
             pad = batch_size - b.shape[0]
             if pad:
                 b = np.concatenate([b, np.zeros((pad,) + b.shape[1:], b.dtype)])
-            p, l = self._fwd(self.variables, jnp.asarray(b))
+            bj = jnp.asarray(b)
+            if self.mesh is not None:
+                bj = jax.device_put(bj, self._batch_sharding)
+            p, l = self._fwd(self.variables, bj)
             p, l = np.asarray(p), np.asarray(l)
             if pad:
                 p, l = p[:-pad], l[:-pad]

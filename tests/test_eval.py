@@ -181,3 +181,22 @@ def test_torch_weight_mapper_full_roundtrip():
         np.testing.assert_array_equal(
             np.asarray(va), np.asarray(vb), err_msg=jax.tree_util.keystr(pa)
         )
+
+
+def test_sharded_inception_extraction_matches_single_device():
+    """SPMD eval over the 8-device mesh must produce the same features as
+    the single-device path (BASELINE's pod-sharded IS/FID eval)."""
+    from s2i_tpu.eval import InceptionFeatures
+    from s2i_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(-1, 1, (16, 64, 64, 3)).astype(np.float32)
+    single = InceptionFeatures(num_classes=8, image_size=75)
+    sharded = InceptionFeatures(
+        variables=single.variables, num_classes=8, image_size=75,
+        mesh=make_mesh(),
+    )
+    p1, l1 = single.extract(imgs, batch_size=8)
+    p2, l2 = sharded.extract(imgs, batch_size=8)
+    np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-5)
