@@ -141,3 +141,54 @@ def test_grain_pipeline(fake_dataset):
     # deterministic across re-iterations with the same seed
     b2 = next(iter(make_grain_gan_dataset(split, 4, 2, seed=5)))
     np.testing.assert_array_equal(b["embedding"], b2["embedding"])
+
+
+def test_embedding_extraction_writes_consumable_pickles(fake_dataset, tmp_path):
+    """SURVEY.md §3.2: pretrained encoder -> speech-embeddings.pickle for
+    BOTH splits -> GAN dataset consumes them via TEXT.EMBEDDING_FILE. This
+    is the only coupling between the two halves when not joint-training."""
+    import jax
+    from s2i_tpu import cli, config
+    from s2i_tpu.train import encoder as enc_train
+    from s2i_tpu.utils import CheckpointManager
+
+    cfg = config.default_cfg()
+    cfg.DATA_DIR = fake_dataset
+    cfg.TEXT.DIMENSION = EMB
+    cfg.ENCODER.CONV_CHANNELS = [8]
+    cfg.ENCODER.RNN_HIDDEN = 8
+    cfg.ENCODER.CLS_HEAD = False
+    cfg.ENCODER.BATCH_SIZE = 4
+    cfg.AUDIO.N_MELS = 8
+    cfg.AUDIO.MAX_FRAMES = 32
+    cfg.DTYPE.COMPUTE = "float32"
+
+    # materialize an encoder checkpoint (no training needed for plumbing)
+    model = enc_train.build_encoder(cfg)
+    dummy = {
+        "feats": np.zeros((1, 32, 8), np.float32),
+        "feat_mask": np.ones((1, 32), bool),
+    }
+    state = enc_train.init_encoder_state(cfg, model, jax.random.key(0), dummy)
+    mgr = CheckpointManager(str(tmp_path / "enc"))
+    mgr.save(1, state, force=True)
+    mgr.wait()
+    mgr.close()
+
+    cli.run_embedding_extraction(cfg, str(tmp_path / "enc"), "speech-embeddings.pickle")
+
+    for split_name in ("train", "test"):
+        p = os.path.join(fake_dataset, split_name, "speech-embeddings.pickle")
+        assert os.path.exists(p)
+        emb = pickle.load(open(p, "rb"))
+        assert emb.shape == (N_IMG, N_CAP, EMB)
+        assert np.isfinite(emb).all()
+        # embeddings vary across captions (not degenerate)
+        assert not np.allclose(emb[0, 0], emb[0, 1])
+
+    # the GAN loader consumes them
+    split = StackGanSplit(
+        fake_dataset, "train", embedding_file="speech-embeddings.pickle"
+    )
+    b = next(iter(GanEpochIterator(split, 4, 2, seed=0)))
+    assert b["embedding"].shape == (4, EMB)

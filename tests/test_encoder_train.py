@@ -2,6 +2,7 @@
 synthetic corpus; extraction is deterministic and batch-size invariant;
 checkpoint save/restore round-trips the full state."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -101,3 +102,25 @@ def test_image_grid_and_logger(tmp_path):
     lg.close()
     lines = (tmp_path / "scalars.jsonl").read_text().strip().splitlines()
     assert len(lines) == 2
+
+
+def test_checkpoint_keep_n_retention(tmp_path):
+    cfg = tiny_cfg()
+    model = enc_train.build_encoder(cfg)
+    ds = make_ds(cfg)
+    state = enc_train.init_encoder_state(
+        cfg, model, jax.random.key(0), ds.batch(np.arange(8))
+    )
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    for step in (1, 2, 3, 4):
+        mgr.save(step, state.replace(step=jnp.asarray(step)), force=True)
+    mgr.wait()
+    assert mgr.latest_step == 4
+    restored, s = mgr.restore_latest(state)
+    assert s == 4 and int(restored.step) == 4
+    # only the newest two survive
+    kept = sorted(
+        int(d) for d in os.listdir(tmp_path / "ck") if d.isdigit()
+    )
+    assert kept == [3, 4]
+    mgr.close()
