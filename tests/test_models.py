@@ -177,3 +177,102 @@ def test_downblock_matches_torch_conv():
     np.testing.assert_allclose(
         out, ty.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5
     )
+
+
+def _bn_eval_torch(bn, scale, bias, mean, var):
+    import torch
+
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(scale))
+        bn.bias.copy_(torch.from_numpy(bias))
+        bn.running_mean.copy_(torch.from_numpy(mean))
+        bn.running_var.copy_(torch.from_numpy(var))
+    bn.eval()
+    return bn
+
+
+def test_upblock_glu_matches_torch():
+    """UpBlockGLU (nearest x2 + conv3x3 + BN + GLU) vs the equivalent torch
+    NCHW stack with transplanted weights (eval-mode BN)."""
+    import torch
+    from s2i_tpu.models.layers import UpBlockGLU
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8, 8, 6)).astype(np.float32)
+    blk = UpBlockGLU(features=4)
+    v = blk.init(jax.random.key(0), jnp.asarray(x), train=True)
+    # fabricate non-trivial BN stats so eval mode is a real test
+    stats = jax.tree.map(np.asarray, v["batch_stats"])
+    stats["BatchNorm_0"]["BatchNorm_0"]["mean"] = (
+        rng.standard_normal(8).astype(np.float32) * 0.1
+    )
+    stats["BatchNorm_0"]["BatchNorm_0"]["var"] = (
+        1.0 + 0.1 * rng.standard_normal(8).astype(np.float32) ** 2
+    )
+    v = {"params": v["params"], "batch_stats": jax.tree.map(jnp.asarray, stats)}
+    out = np.asarray(blk.apply(v, jnp.asarray(x), train=False))
+
+    p = jax.tree.map(np.asarray, v["params"])
+    bnp = jax.tree.map(np.asarray, v["batch_stats"])
+    w = p["Conv3x3_0"]["Conv_0"]["kernel"]  # HWIO, out=8
+    bn_tree = bnp["BatchNorm_0"]["BatchNorm_0"]
+    bn_params = p["BatchNorm_0"]["BatchNorm_0"]
+
+    conv = torch.nn.Conv2d(6, 8, 3, padding=1, bias=False)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(w.transpose(3, 2, 0, 1).copy()))
+    bn = _bn_eval_torch(
+        torch.nn.BatchNorm2d(8, eps=1e-5),
+        bn_params["scale"], bn_params["bias"], bn_tree["mean"], bn_tree["var"],
+    )
+    tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        ty = torch.nn.functional.interpolate(tx, scale_factor=2, mode="nearest")
+        ty = bn(conv(ty))
+        ty = torch.nn.functional.glu(ty, dim=1)
+    np.testing.assert_allclose(
+        out, ty.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_resblock_glu_matches_torch():
+    import torch
+    from s2i_tpu.models.layers import ResBlockGLU
+
+    rng = np.random.default_rng(1)
+    c = 4
+    x = rng.standard_normal((2, 8, 8, c)).astype(np.float32)
+    blk = ResBlockGLU(features=c)
+    v = blk.init(jax.random.key(0), jnp.asarray(x), train=True)
+    out = np.asarray(blk.apply(v, jnp.asarray(x), train=False))
+
+    p = jax.tree.map(np.asarray, v["params"])
+    s = jax.tree.map(np.asarray, v["batch_stats"])
+
+    def torch_conv(key_conv, cin, cout):
+        w = p[key_conv]["Conv_0"]["kernel"]  # HWIO
+        conv = torch.nn.Conv2d(cin, cout, 3, padding=1, bias=False)
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(w.transpose(3, 2, 0, 1).copy()))
+        return conv
+
+    def torch_bn(key_bn, ch):
+        return _bn_eval_torch(
+            torch.nn.BatchNorm2d(ch, eps=1e-5),
+            p[key_bn]["BatchNorm_0"]["scale"],
+            p[key_bn]["BatchNorm_0"]["bias"],
+            s[key_bn]["BatchNorm_0"]["mean"],
+            s[key_bn]["BatchNorm_0"]["var"],
+        )
+
+    conv_keys = ["Conv3x3_0", "Conv3x3_1"]
+    bn_keys = ["BatchNorm_0", "BatchNorm_1"]
+    tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        r = torch_bn(bn_keys[0], 2 * c)(torch_conv(conv_keys[0], c, 2 * c)(tx))
+        r = torch.nn.functional.glu(r, dim=1)
+        r = torch_bn(bn_keys[1], c)(torch_conv(conv_keys[1], c, c)(r))
+        ty = tx + r
+    np.testing.assert_allclose(
+        out, ty.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-4
+    )
