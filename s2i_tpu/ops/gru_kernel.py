@@ -25,11 +25,8 @@ by tests/test_gru_kernel.py on the CPU interpreter.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
