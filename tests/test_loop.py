@@ -302,3 +302,83 @@ def test_profile_dir_writes_trace(tmp_path):
     for root, _dirs, files in os.walk(tmp_path / "trace"):
         found.extend(files)
     assert found, "no profiler artifacts written"
+
+
+def test_serving_micro_batches_concurrent_requests(tmp_path):
+    """Concurrent POSTs must collate into shared device batches and all get
+    correct independent responses."""
+    import io
+    import threading
+    import urllib.request
+
+    import jax
+    from s2i_tpu.audio.wavio import write_wav
+    from s2i_tpu.pipeline import SpeechToImage
+    from s2i_tpu.serving import make_server
+    from s2i_tpu.train import encoder as enc_train
+    from s2i_tpu.utils import CheckpointManager
+
+    cfg = tiny_cfg()
+    cfg.AUDIO.N_MELS = 8
+    cfg.AUDIO.MAX_FRAMES = 32
+    cfg.ENCODER.CONV_CHANNELS = [8, 16]
+    cfg.ENCODER.RNN_HIDDEN = 16
+    cfg.ENCODER.CLS_HEAD = False
+
+    out = str(tmp_path / "gan")
+    t = GanTrainer(cfg, out, gan_batch_factory(cfg))
+    t.ckpt.save(0, t.state, force=True)
+    t.ckpt.wait()
+    t.close()
+    model = enc_train.build_encoder(cfg)
+    est = enc_train.init_encoder_state(
+        cfg, model, jax.random.key(0),
+        {"feats": np.zeros((1, 32, 8), np.float32),
+         "feat_mask": np.ones((1, 32), bool)},
+    )
+    emgr = CheckpointManager(str(tmp_path / "enc"))
+    emgr.save(0, est, force=True)
+    emgr.wait()
+    emgr.close()
+
+    pipe = SpeechToImage.from_checkpoints(
+        cfg, str(tmp_path / "enc"), os.path.join(out, "ckpt")
+    )
+    srv = make_server(pipe, "127.0.0.1", 0, batch_size=4)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    bodies = []
+    for k in range(6):
+        wav = (0.4 * np.sin(np.linspace(0, 300 * (k + 1), 4000))).astype(
+            np.float32
+        )
+        wp = str(tmp_path / f"w{k}.wav")
+        write_wav(wp, wav, 16000)
+        bodies.append(open(wp, "rb").read())
+
+    results = [None] * 6
+
+    def post(k):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=bodies[k], method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=180) as r:
+            results[k] = r.read()
+
+    threads = [threading.Thread(target=post, args=(k,)) for k in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=180)
+    try:
+        from PIL import Image
+
+        imgs = []
+        for k, png in enumerate(results):
+            assert png is not None and png[:8] == b"\x89PNG\r\n\x1a\n", k
+            imgs.append(np.asarray(Image.open(io.BytesIO(png))))
+        # different inputs -> different outputs (no response mix-up/aliasing)
+        assert not np.array_equal(imgs[0], imgs[5])
+    finally:
+        srv.shutdown()
