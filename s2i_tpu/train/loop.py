@@ -83,6 +83,30 @@ class GanTrainer:
             self.step_fn = jax.jit(gan.make_train_step(cfg, self.models))
         self.state = state
         self.sample_fn = jax.jit(gan.make_sample_fn(cfg, self.models))
+        self._write_run_metadata()
+
+    def _write_run_metadata(self) -> None:
+        """Run provenance: versions, devices, parameter counts."""
+        import json
+
+        def count(tree) -> int:
+            return int(sum(x.size for x in jax.tree.leaves(tree)))
+
+        meta = {
+            "jax_version": jax.__version__,
+            "backend": jax.default_backend(),
+            "n_devices": len(jax.devices()),
+            "mesh": dict(self.mesh.shape) if self.mesh is not None else None,
+            "params": {
+                "generator+ca": count(
+                    {k: v for k, v in self.state.g_params.items() if k != "enc"}
+                ),
+                "encoder": count(self.state.g_params.get("enc", {})),
+                "discriminators": [count(p) for p in self.state.d_params],
+            },
+        }
+        with open(os.path.join(self.output_dir, "run_meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
 
     def _graft_encoder(self, state, net_e: str, first_batch: dict):
         from s2i_tpu.train import encoder as enc_train
