@@ -50,6 +50,9 @@ class InitStageG(nn.Module):
         )(x)
         x = BatchNorm(self.dtype, self.axis_name)(x, train)
         x = glu(x)
+        # NHWC layout choice: the fc output is interpreted as (h, w, c) —
+        # torch reshapes to (c, h, w). Internal-only (no external generator
+        # weights exist to port), consistent across train/sample/ckpt.
         x = x.reshape(x.shape[0], 4, 4, ngf)
         for i in range(4):  # 4×4 → 64×64
             x = UpBlockGLU(ngf // (2 ** (i + 1)), self.dtype, self.axis_name)(
