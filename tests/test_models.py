@@ -276,3 +276,60 @@ def test_resblock_glu_matches_torch():
     np.testing.assert_allclose(
         out, ty.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-4
     )
+
+
+def test_d_heads_match_torch():
+    """Conditional+unconditional D heads vs torch NCHW with transplanted
+    weights: condition tiling, channel concat, 3x3 BN block, 4x4 VALID conv."""
+    import torch
+    from s2i_tpu.models.discriminator import _Heads
+
+    rng = np.random.default_rng(2)
+    code = rng.standard_normal((2, 4, 4, 16)).astype(np.float32)
+    cvec = rng.standard_normal((2, 6)).astype(np.float32)
+    heads = _Heads(df_dim=2, b_condition=True)  # joint block -> 16 channels
+    v = heads.init(jax.random.key(0), jnp.asarray(code), jnp.asarray(cvec),
+                   train=True)
+    cond, uncond = heads.apply(
+        v, jnp.asarray(code), jnp.asarray(cvec), train=False
+    )
+
+    p = jax.tree.map(np.asarray, v["params"])
+    s = jax.tree.map(np.asarray, v["batch_stats"])
+
+    def t_conv(w, cin, cout, k, stride=1, padding=0, bias=None):
+        conv = torch.nn.Conv2d(cin, cout, k, stride=stride, padding=padding,
+                               bias=bias is not None)
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(w.transpose(3, 2, 0, 1).copy()))
+            if bias is not None:
+                conv.bias.copy_(torch.from_numpy(bias))
+        return conv
+
+    tcode = torch.from_numpy(code.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        # unconditional: 4x4 VALID conv (has bias in flax default)
+        wu = p["uncond_logit"]["kernel"]
+        cu = t_conv(wu, 16, 1, 4, stride=4, bias=p["uncond_logit"]["bias"])
+        t_uncond = cu(tcode).reshape(2)
+
+        # conditional: tile cvec over 4x4, concat channels, 3x3 BN LReLU, 4x4
+        tc = torch.from_numpy(cvec).reshape(2, 6, 1, 1).expand(2, 6, 4, 4)
+        x = torch.cat([tcode, tc], dim=1)
+        wj = p["joint"]["Conv3x3_0"]["Conv_0"]["kernel"]
+        x = t_conv(wj, 22, 16, 3, padding=1)(x)
+        bn = _bn_eval_torch(
+            torch.nn.BatchNorm2d(16, eps=1e-5),
+            p["joint"]["BatchNorm_0"]["BatchNorm_0"]["scale"],
+            p["joint"]["BatchNorm_0"]["BatchNorm_0"]["bias"],
+            s["joint"]["BatchNorm_0"]["BatchNorm_0"]["mean"],
+            s["joint"]["BatchNorm_0"]["BatchNorm_0"]["var"],
+        )
+        x = torch.nn.functional.leaky_relu(bn(x), 0.2)
+        wc = p["cond_logit"]["kernel"]
+        t_cond = t_conv(wc, 16, 1, 4, stride=4, bias=p["cond_logit"]["bias"])(
+            x
+        ).reshape(2)
+
+    np.testing.assert_allclose(np.asarray(uncond), t_uncond.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cond), t_cond.numpy(), rtol=1e-4, atol=1e-4)
