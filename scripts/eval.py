@@ -45,7 +45,12 @@ def main():
     )
     p.add_argument("--gen_dir", default=None, help="generated images")
     p.add_argument("--real_dir", default=None, help="real images (for FID)")
-    p.add_argument("--weights", default=None, help="Inception weights (.npz flax / .pth torch)")
+    p.add_argument("--weights", default=None, help="torch .pth state_dict")
+    p.add_argument(
+        "--finetuned_ckpt", default=None,
+        help="orbax ckpt dir from scripts/finetune_inception.py",
+    )
+    p.add_argument("--num_classes", type=int, default=1000)
     p.add_argument("--splits", type=int, default=10)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--limit", type=int, default=None)
@@ -59,6 +64,7 @@ def main():
     from s2i_tpu.eval import InceptionFeatures, fid_score, inception_score
 
     variables = None
+    num_classes = args.num_classes
     if args.weights:
         if args.weights.endswith(".pth") or args.weights.endswith(".pt"):
             import torch
@@ -69,10 +75,26 @@ def main():
             )
         else:
             raise ValueError("pass a torch .pth state_dict")
-    ex = InceptionFeatures(variables)
+    elif args.finetuned_ckpt:
+        import jax
+        from s2i_tpu.eval.finetune import init_inception_state
+        from s2i_tpu.utils import CheckpointManager
+
+        _, state = init_inception_state(num_classes, jax.random.key(0))
+        mgr = CheckpointManager(args.finetuned_ckpt)
+        restored = mgr.restore_latest(state)
+        mgr.close()
+        if restored is None:
+            raise FileNotFoundError(args.finetuned_ckpt)
+        variables = {
+            "params": restored[0].params,
+            "batch_stats": restored[0].batch_stats,
+        }
+    ex = InceptionFeatures(variables, num_classes=num_classes)
     gen = load_dir(args.gen_dir, args.limit)
     mean, std = inception_score(gen, ex, args.splits, args.batch)
-    print(f"IS: {mean:.4f} +- {std:.4f}" + ("" if args.weights else "  [random-weight Inception: plumbing only]"))
+    trained = bool(args.weights or args.finetuned_ckpt)
+    print(f"IS: {mean:.4f} +- {std:.4f}" + ("" if trained else "  [random-weight Inception: plumbing only]"))
     if args.real_dir:
         real = load_dir(args.real_dir, args.limit)
         f = fid_score(gen, real, ex, args.batch)
