@@ -21,6 +21,43 @@ import time
 import numpy as np
 
 
+def bench_frontend() -> None:
+    """Secondary metric (BASELINE.json: 'mel frames/sec'): fused Pallas
+    log-mel frontend throughput. Run with: python bench.py --metric mel"""
+    import jax
+    import jax.numpy as jnp
+
+    from s2i_tpu.audio.frontend import FrontendParams
+    from s2i_tpu.ops.mel_kernel import logmel_pallas
+
+    p = FrontendParams()
+    rng = np.random.default_rng(0)
+    # distinct inputs per iteration so no layer can cache/dedupe dispatches
+    wavs = [
+        jnp.asarray(rng.standard_normal((8, 64000)).astype(np.float32))
+        for _ in range(4)
+    ]
+    out = logmel_pallas(wavs[0], p)
+    jax.block_until_ready(out)
+    n_frames = out.shape[0] * out.shape[1]
+    best = 0.0
+    for _ in range(6):
+        t0 = time.perf_counter()
+        outs = [logmel_pallas(wavs[i % 4], p) for i in range(20)]
+        jax.block_until_ready(outs)
+        best = max(best, n_frames / ((time.perf_counter() - t0) / 20))
+    print(
+        json.dumps(
+            {
+                "metric": "mel_frames_per_sec",
+                "value": round(best, 0),
+                "unit": "frames/sec/chip",
+                "vs_baseline": 1.0,  # tracked metric, no fixed target
+            }
+        )
+    )
+
+
 def main() -> None:
     import jax
 
@@ -66,14 +103,16 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    import sys
     import time as _time
 
+    fn = bench_frontend if "--metric" in sys.argv and "mel" in sys.argv else main
     # The relay's remote-compile service occasionally drops a response
     # mid-body (INTERNAL error); one retry after a cool-down recovers it.
     try:
-        main()
+        fn()
     except Exception as e:  # noqa: BLE001 — transient relay errors
         print(f"# bench attempt 1 failed ({type(e).__name__}: {e}); retrying",
               flush=True)
         _time.sleep(30)
-        main()
+        fn()
