@@ -103,10 +103,16 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    import sys
+    import argparse
     import time as _time
 
-    fn = bench_frontend if "--metric" in sys.argv and "mel" in sys.argv else main
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--metric", choices=["gan", "mel"], default="gan",
+        help="headline GAN throughput (default) or mel-frontend frames/sec",
+    )
+    cli_args = ap.parse_args()
+    fn = bench_frontend if cli_args.metric == "mel" else main
     # The relay's remote-compile service occasionally drops a response
     # mid-body (INTERNAL error); one retry after a cool-down recovers it.
     try:
