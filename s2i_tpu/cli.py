@@ -164,6 +164,7 @@ def joint_batch_factory(cfg):
                     "feats": sb["feats"],
                     "feat_mask": sb["feat_mask"],
                     "teacher": sb["teacher"],
+                    "class_id": gb["class_id"],
                 }
 
         return factory

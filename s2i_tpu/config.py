@@ -71,6 +71,10 @@ def default_cfg() -> AttrDict:
                 "SNAPSHOT_INTERVAL": 2000,
                 "DISCRIMINATOR_LR": 2.0e-4,
                 "GENERATOR_LR": 2.0e-4,
+                # "adam" (reference parity) or "sgd" (plain; used by the
+                # multi-device == single-device equivalence test, where
+                # Adam's sign-like first step would amplify fp32 noise).
+                "OPTIMIZER": "adam",
                 "ADAM_BETA1": 0.5,
                 "ADAM_BETA2": 0.999,
                 "NET_G": "",
@@ -87,6 +91,12 @@ def default_cfg() -> AttrDict:
                     # joint-finetune distillation regularizer weight
                     "DISTILL": 0.0,
                 },
+                # Wrong-pair conditions for the conditional D loss:
+                # "roll" = shift-the-batch-by-one (reference parity — two
+                # same-class neighbors make the "wrong" pair actually right,
+                # common on CUB at batch 24); "class_aware" = smallest shift
+                # whose class differs (needs class_id in the batch).
+                "WRONG_PAIR": "roll",
                 # Flags for the encoder-in-the-loop ("joint") mode (§3.5).
                 "JOINT_FT": False,
                 # Debug/observability (SURVEY.md §5): per-step finiteness

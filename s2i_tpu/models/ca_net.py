@@ -23,20 +23,31 @@ class CANet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, embedding: jax.Array, rng: jax.Array | None = None, train: bool = True
+        self,
+        embedding: jax.Array,
+        rng: jax.Array | None = None,
+        train: bool = True,
+        eps: jax.Array | None = None,
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
-        """Returns (c_code, mu, logvar). ``rng`` required when train=True."""
+        """Returns (c_code, mu, logvar).
+
+        ``train=True`` needs a noise source: either ``rng`` (drawn here) or a
+        pre-drawn ``eps`` of shape [B, c_dim]. The GAN step passes ``eps`` so
+        the draw can be made per-example/sharding-invariant (the same global
+        batch yields the same noise on any mesh size).
+        """
         x = nn.Dense(
             self.c_dim * 4, dtype=self.dtype, kernel_init=dense_init
         )(embedding)
         x = glu(x)
         mu, logvar = x[..., : self.c_dim], x[..., self.c_dim :]
         if train:
-            if rng is None:
-                raise ValueError("CANet needs an rng when train=True")
             std = jnp.exp(0.5 * logvar.astype(jnp.float32))
-            eps = jax.random.normal(rng, std.shape, dtype=jnp.float32)
-            c = mu.astype(jnp.float32) + eps * std
+            if eps is None:
+                if rng is None:
+                    raise ValueError("CANet needs rng or eps when train=True")
+                eps = jax.random.normal(rng, std.shape, dtype=jnp.float32)
+            c = mu.astype(jnp.float32) + eps.astype(jnp.float32) * std
         else:
             c = mu.astype(jnp.float32)
         return c.astype(mu.dtype), mu, logvar

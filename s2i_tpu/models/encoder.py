@@ -113,6 +113,7 @@ class SpeechEncoder(nn.Module):
     n_classes: int = 0  # 0 disables the class head
     norm_out: bool = False
     dtype: Any = jnp.float32
+    axis_name: str | None = None  # cross-device BN stat sync under shard_map
 
     @nn.compact
     def __call__(
@@ -138,6 +139,7 @@ class SpeechEncoder(nn.Module):
                 use_running_average=not train,
                 momentum=0.9,
                 dtype=self.dtype,
+                axis_name=self.axis_name if train else None,
                 name=f"bn{i}",
             )(x)
             x = nn.relu(x)

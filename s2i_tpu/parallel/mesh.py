@@ -70,6 +70,10 @@ def make_parallel_encoder_step(cfg, model, mesh: Mesh) -> Callable:
     from s2i_tpu.train import encoder as enc_train
 
     axis = str(cfg.MESH.DATA_AXIS)
+    # Rebuild the module with the mesh axis so BN batch statistics are
+    # cross-device means (param/stat trees are unchanged by axis_name, so
+    # the caller's state stays valid).
+    model = enc_train.build_encoder(cfg, axis_name=axis)
     step = enc_train.make_encoder_train_step(cfg, model, axis_name=axis)
     sharded = jax.shard_map(
         step,
@@ -85,10 +89,17 @@ def make_parallel_train_step(
     cfg, models: gan.GanModels, mesh: Mesh
 ) -> Callable:
     """jit(shard_map(train_step)): state replicated, batch sharded, rng
-    replicated. Each device draws its own z/CA noise (the step folds the
-    axis index into the rng), grads are pmean-ed before the update, so the
-    result is exactly a global-batch step."""
+    replicated. Noise is drawn per GLOBAL example index (sharding-invariant),
+    BN stats are cross-device means, the wrong-pair roll crosses shard
+    boundaries via ppermute, and grads are pmean-ed before the update — so
+    the result is EXACTLY the single-device global-batch step (tested by
+    tests/test_parallel.py::test_parallel_step_matches_single_device)."""
     axis = str(cfg.MESH.DATA_AXIS)
+    # Rebuild modules with the mesh axis so BN stats sync across devices;
+    # axis_name changes no param/stat trees, so the caller's state is valid.
+    models = gan.build_models(
+        cfg, axis_name=axis, joint=models.encoder is not None
+    )
     step = gan.make_train_step(cfg, models, axis_name=axis)
     sharded = jax.shard_map(
         step,

@@ -27,8 +27,20 @@ class SpeechToImage:
     def __init__(self, cfg, enc_state, gan_state, use_ema: bool = True):
         self.cfg = cfg
         self.p = frontend_params_from_cfg(cfg.AUDIO)
-        self.encoder = enc_train.build_encoder(cfg)
-        self.models = gan_train.build_models(cfg)
+        # Joint-finetuned checkpoints (TRAIN.JOINT_FT — the paper's headline
+        # mode) carry the fine-tuned speech encoder inside the GAN state
+        # ('enc' subtrees); use it in preference to a separate pretrain
+        # encoder state.
+        joint = "enc" in gan_state.g_params
+        self.models = gan_train.build_models(cfg, joint=joint)
+        if joint:
+            self.encoder = self.models.encoder
+        else:
+            if enc_state is None:
+                raise ValueError(
+                    "enc_state is required for non-joint GAN checkpoints"
+                )
+            self.encoder = enc_train.build_encoder(cfg)
         self.enc_state = enc_state
         self.gan_state = gan_state
         self.use_ema = use_ema
@@ -40,15 +52,17 @@ class SpeechToImage:
             feats, mask = extract_features(
                 wavs, self.p, use_pallas=use_pallas, wav_len=wav_lens
             )
-            out = self.encoder.apply(
-                {
+            if joint:
+                enc_vars = {
+                    "params": gan_state.g_params["enc"],
+                    "batch_stats": gan_state.g_stats["enc"],
+                }
+            else:
+                enc_vars = {
                     "params": enc_state.params,
                     "batch_stats": enc_state.batch_stats,
-                },
-                feats,
-                mask,
-                train=False,
-            )
+                }
+            out = self.encoder.apply(enc_vars, feats, mask, train=False)
             emb = out[0] if isinstance(out, tuple) else out
             params = (
                 gan_state.ema_g
@@ -74,28 +88,48 @@ class SpeechToImage:
 
     @classmethod
     def from_checkpoints(
-        cls, cfg, encoder_ckpt: str, gan_ckpt: str, use_ema: bool = True
+        cls,
+        cfg,
+        encoder_ckpt: str | None,
+        gan_ckpt: str,
+        use_ema: bool = True,
     ) -> "SpeechToImage":
-        """Restore both halves from Orbax checkpoint directories."""
+        """Restore from Orbax checkpoint directories.
+
+        The GAN restore template honors ``cfg.TRAIN.JOINT_FT``: joint-trained
+        checkpoints contain 'enc' subtrees in g_params/g_stats, and the
+        fine-tuned encoder they carry is what ``generate`` uses — so
+        ``encoder_ckpt`` may be None/"" in joint mode.
+        """
         from s2i_tpu.utils import CheckpointManager
 
         p = frontend_params_from_cfg(cfg.AUDIO)
-        encoder = enc_train.build_encoder(cfg)
-        dummy = {
-            "feats": np.zeros((1, p.max_frames, p.n_features), np.float32),
-            "feat_mask": np.ones((1, p.max_frames), bool),
-        }
-        enc_state = enc_train.init_encoder_state(
-            cfg, encoder, jax.random.key(0), dummy
-        )
-        mgr = CheckpointManager(encoder_ckpt)
-        restored = mgr.restore_latest(enc_state)
-        if restored is None:
-            raise FileNotFoundError(f"no encoder checkpoint in {encoder_ckpt}")
-        enc_state = restored[0]
-        mgr.close()
+        joint = bool(cfg.TRAIN.JOINT_FT)
+        enc_state = None
+        if encoder_ckpt:
+            encoder = enc_train.build_encoder(cfg)
+            dummy = {
+                "feats": np.zeros((1, p.max_frames, p.n_features), np.float32),
+                "feat_mask": np.ones((1, p.max_frames), bool),
+            }
+            enc_state = enc_train.init_encoder_state(
+                cfg, encoder, jax.random.key(0), dummy
+            )
+            mgr = CheckpointManager(encoder_ckpt)
+            restored = mgr.restore_latest(enc_state)
+            if restored is None:
+                raise FileNotFoundError(
+                    f"no encoder checkpoint in {encoder_ckpt}"
+                )
+            enc_state = restored[0]
+            mgr.close()
+        elif not joint:
+            raise ValueError(
+                "encoder_ckpt is required unless cfg.TRAIN.JOINT_FT is on "
+                "(joint GAN checkpoints embed the fine-tuned encoder)"
+            )
 
-        models = gan_train.build_models(cfg)
+        models = gan_train.build_models(cfg, joint=joint)
         b = 1
         branch = int(cfg.TREE.BRANCH_NUM)
         dummy_gan = {
@@ -105,6 +139,11 @@ class SpeechToImage:
             ),
             "embedding": np.zeros((b, int(cfg.TEXT.DIMENSION)), np.float32),
         }
+        if joint:
+            dummy_gan["feats"] = np.zeros(
+                (b, p.max_frames, p.n_features), np.float32
+            )
+            dummy_gan["feat_mask"] = np.ones((b, p.max_frames), bool)
         gan_state = gan_train.init_state(
             cfg, models, jax.random.key(0), dummy_gan
         )

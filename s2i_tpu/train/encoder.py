@@ -21,7 +21,7 @@ from s2i_tpu.models import SpeechEncoder
 from s2i_tpu.train import losses
 
 
-def build_encoder(cfg) -> SpeechEncoder:
+def build_encoder(cfg, axis_name: str | None = None) -> SpeechEncoder:
     e = cfg.ENCODER
     return SpeechEncoder(
         emb_dim=int(cfg.TEXT.DIMENSION),
@@ -35,6 +35,7 @@ def build_encoder(cfg) -> SpeechEncoder:
         n_classes=int(e.N_CLASSES) if bool(e.CLS_HEAD) else 0,
         norm_out=bool(e.NORM_OUT),
         dtype=jnp.dtype(cfg.DTYPE.COMPUTE),
+        axis_name=axis_name,
     )
 
 

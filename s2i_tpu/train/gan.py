@@ -76,6 +76,7 @@ def build_models(
             n_classes=0,
             norm_out=bool(e.NORM_OUT),
             dtype=dtype,
+            axis_name=axis_name,
         )
     return GanModels(ca, g, ds, encoder)
 
@@ -92,6 +93,11 @@ class GanTrainState(struct.PyTreeNode):
 
 
 def _adam(cfg, lr: float) -> optax.GradientTransformation:
+    name = str(getattr(cfg.TRAIN, "OPTIMIZER", "adam")).lower()
+    if name == "sgd":
+        return optax.sgd(lr)
+    if name != "adam":
+        raise ValueError(f"unknown TRAIN.OPTIMIZER {name!r}")
     return optax.adam(
         lr, b1=float(cfg.TRAIN.ADAM_BETA1), b2=float(cfg.TRAIN.ADAM_BETA2)
     )
@@ -117,8 +123,12 @@ def init_state(cfg, models: GanModels, rng: jax.Array, batch: dict) -> GanTrainS
         g_stats["enc"] = e_vars["batch_stats"]
 
     d_params, d_stats = [], []
-    for d, img in zip(models.ds, batch["images"]):
-        d_vars = d.init(r_d, img, c)
+    # One key per discriminator: a shared key would start every shape-matched
+    # layer across D64/D128/D256 (the common DownBlock trunk + heads) with
+    # identical weights — a correlated D ensemble.
+    r_ds = jax.random.split(r_d, len(models.ds))
+    for d, img, r_di in zip(models.ds, batch["images"], r_ds):
+        d_vars = d.init(r_di, img, c)
         d_params.append(d_vars["params"])
         d_stats.append(d_vars["batch_stats"])
 
@@ -142,6 +152,34 @@ def init_state(cfg, models: GanModels, rng: jax.Array, batch: dict) -> GanTrainS
         d_opt=tuple(d_opts),
         ema_g=ema,
     )
+
+
+def wrong_pair_sources(class_id: jax.Array) -> jax.Array:
+    """Per-example source index for a class-aware "wrong" pair: the nearest
+    preceding batch element (smallest roll shift ≥1) whose class differs.
+    Falls back to shift 1 — the reference's plain roll — for an example whose
+    class fills the whole batch. Static unrolled loop over B (tiny)."""
+    B = class_id.shape[0]
+    shift = jnp.ones((B,), jnp.int32)
+    done = jnp.zeros((B,), bool)
+    for s in range(1, B):
+        differs = class_id != jnp.roll(class_id, s)
+        take = differs & ~done
+        shift = jnp.where(take, s, shift)
+        done = done | take
+    return (jnp.arange(B) - shift) % B
+
+
+def _per_example_normal(key: jax.Array, idx: jax.Array, tail: tuple) -> jax.Array:
+    """Sharding-invariant normal draw: example ``j``'s noise depends only on
+    (key, global index j), never on the mesh layout — so an 8-way sharded
+    step sees exactly the noise a single-device step sees on the same global
+    batch (testable psum correctness, SURVEY.md §4)."""
+
+    def one(i):
+        return jax.random.normal(jax.random.fold_in(key, i), tail, jnp.float32)
+
+    return jax.vmap(one)(idx)
 
 
 def make_train_step(
@@ -170,18 +208,62 @@ def make_train_step(
     g_tx = _adam(cfg, float(cfg.TRAIN.GENERATOR_LR))
     d_tx = _adam(cfg, float(cfg.TRAIN.DISCRIMINATOR_LR))
 
+    c_dim = int(cfg.GAN.EMBEDDING_DIM)
+
     def psum_mean(tree):
         if axis_name is None:
             return tree
         return jax.lax.pmean(tree, axis_name)
 
+    def global_roll1(x):
+        """``jnp.roll(x, 1, axis=0)`` over the GLOBAL batch. Under shard_map
+        the first local row is the previous shard's last row — one
+        ppermute hop over ICI, not an all_gather."""
+        if axis_name is None:
+            return jnp.roll(x, 1, axis=0)
+        n = jax.lax.axis_size(axis_name)
+        if n == 1:
+            return jnp.roll(x, 1, axis=0)
+        prev_last = jax.lax.ppermute(
+            x[-1:], axis_name, [(i, (i + 1) % n) for i in range(n)]
+        )
+        return jnp.concatenate([prev_last, x[:-1]], axis=0)
+
+    wrong_pair = str(getattr(cfg.TRAIN, "WRONG_PAIR", "roll")).lower()
+
+    def wrong_conditions(cond, class_id):
+        """Conditions for the D's "wrong pair" term (SURVEY.md §3.3). The
+        condition vectors are tiny ([B, c_dim]), so the class-aware sharded
+        path just all_gathers them, picks globally, and slices local."""
+        if wrong_pair == "roll":
+            return global_roll1(cond)
+        if wrong_pair != "class_aware":
+            raise ValueError(f"unknown TRAIN.WRONG_PAIR {wrong_pair!r}")
+        if class_id is None:
+            raise ValueError(
+                "TRAIN.WRONG_PAIR=class_aware needs class_id in the batch"
+            )
+        class_id = class_id.astype(jnp.int32)
+        if axis_name is None:
+            return cond[wrong_pair_sources(class_id)]
+        cond_g = jax.lax.all_gather(cond, axis_name, tiled=True)
+        cls_g = jax.lax.all_gather(class_id, axis_name, tiled=True)
+        wrong_g = cond_g[wrong_pair_sources(cls_g)]
+        start = jax.lax.axis_index(axis_name) * cond.shape[0]
+        return jax.lax.dynamic_slice_in_dim(
+            wrong_g, start, cond.shape[0], axis=0
+        )
+
     def train_step(state: GanTrainState, batch: dict, base_rng: jax.Array):
         rng = jax.random.fold_in(base_rng, state.step)
-        if axis_name is not None:
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         rng_z, rng_ca = jax.random.split(rng)
         b = batch["images"][0].shape[0]
-        z = jax.random.normal(rng_z, (b, z_dim), jnp.float32)
+        offset = (
+            jax.lax.axis_index(axis_name) * b if axis_name is not None else 0
+        )
+        idx = offset + jnp.arange(b)
+        z = _per_example_normal(rng_z, idx, (z_dim,))
+        ca_eps = _per_example_normal(rng_ca, idx, (c_dim,))
 
         # ---- ONE G-side forward, with saved VJP residuals ----
         # The same generated images serve the D phase (as constants) and,
@@ -204,7 +286,7 @@ def make_train_step(
             else:
                 emb_g = batch["embedding"]
             c, mu, logvar = models.ca.apply(
-                {"params": g_params["ca"]}, emb_g, rng_ca
+                {"params": g_params["ca"]}, emb_g, eps=ca_eps
             )
             fakes, g_vars = models.g.apply(
                 {"params": g_params["g"], "batch_stats": state.g_stats["g"]},
@@ -219,7 +301,7 @@ def make_train_step(
             g_forward, state.g_params, has_aux=True
         )
         cond_d = jax.lax.stop_gradient(mu)
-        cond_wrong = jnp.roll(cond_d, 1, axis=0)
+        cond_wrong = wrong_conditions(cond_d, batch.get("class_id"))
         fakes_sg = [jax.lax.stop_gradient(f) for f in fakes]
 
         # ---- D phase: one backward over the disjoint D param tuple ----

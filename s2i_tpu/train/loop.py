@@ -144,7 +144,16 @@ class GanTrainer:
         return state.replace(g_params=g_params, g_stats=g_stats)
 
     def _prep(self, batch: dict) -> dict:
-        batch = {k: v for k, v in batch.items() if k != "class_id"}
+        # class_id feeds the class-aware wrong-pair path; otherwise drop it
+        # so the jitted step's batch signature stays minimal.
+        keep_cls = (
+            str(self.cfg.TRAIN.WRONG_PAIR).lower() == "class_aware"
+        )
+        batch = {
+            k: v
+            for k, v in batch.items()
+            if k != "class_id" or keep_cls
+        }
         if self.mesh is not None:
             batch = shard_batch(batch, self.mesh, str(self.cfg.MESH.DATA_AXIS))
         return batch
@@ -176,13 +185,18 @@ class GanTrainer:
         debug_nans = bool(cfg.TRAIN.DEBUG_NANS)
         profile_dir = str(cfg.TRAIN.PROFILE_DIR)
         profiling = False
+        # Host-side step mirror: int(self.state.step) is a device→host sync
+        # that would serialize dispatch every iteration; sync only on
+        # log/grid/snapshot boundaries instead (the jitted step advances the
+        # device counter by exactly 1, so the mirror stays exact).
+        step = int(self.state.step)
         for epoch in range(max_epoch):
             for batch in prefetch(self.batch_factory(epoch), depth=4):
                 b = batch["images"][0].shape[0]
                 self.state, mets = self.step_fn(
                     self.state, self._prep(batch), base_rng
                 )
-                step = int(self.state.step)
+                step += 1
                 if debug_nans:
                     bad = {
                         k: float(v)
@@ -214,13 +228,13 @@ class GanTrainer:
                 if stop_requested:
                     break
             if stop_requested:
-                print(f"SIGTERM: checkpointing at step {int(self.state.step)}")
+                print(f"SIGTERM: checkpointing at step {step}")
                 break
         if prev_handler is not None:
             import signal
 
             signal.signal(signal.SIGTERM, prev_handler)
-        step = int(self.state.step)
+        assert step == int(self.state.step), "host step mirror out of sync"
         if self.ckpt.latest_step != step:
             self.ckpt.save(step, self.state, force=True)
         self.ckpt.wait()

@@ -12,7 +12,8 @@ from s2i_tpu.serving import make_server
 
 def main():
     p = cli.base_parser(__doc__)
-    p.add_argument("--encoder_ckpt", required=True)
+    p.add_argument("--encoder_ckpt", default="",
+                   help="optional when TRAIN.JOINT_FT (encoder is in the GAN ckpt)")
     p.add_argument("--gan_ckpt", required=True)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8500)

@@ -12,7 +12,8 @@ from s2i_tpu.pipeline import SpeechToImage
 
 def main():
     p = cli.base_parser(__doc__)
-    p.add_argument("--encoder_ckpt", required=True)
+    p.add_argument("--encoder_ckpt", default="",
+                   help="optional when TRAIN.JOINT_FT (encoder is in the GAN ckpt)")
     p.add_argument("--gan_ckpt", required=True)
     p.add_argument("--wav", nargs="+", required=True)
     p.add_argument("--out_dir", default="generated")

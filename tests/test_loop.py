@@ -172,6 +172,44 @@ def test_speech_to_image_pipeline(tmp_path):
     assert os.path.exists(op)
 
 
+def test_speech_to_image_pipeline_joint(tmp_path):
+    """Joint-finetuned GAN checkpoints carry 'enc' subtrees in
+    g_params/g_stats; from_checkpoints must build the matching restore
+    template and serve the embedded fine-tuned encoder — no separate
+    encoder checkpoint needed."""
+    from s2i_tpu.pipeline import SpeechToImage
+
+    cfg = tiny_cfg()
+    cfg.AUDIO.N_MELS = 8
+    cfg.AUDIO.MAX_FRAMES = 32
+    cfg.ENCODER.CONV_CHANNELS = [8, 16]
+    cfg.ENCODER.RNN_HIDDEN = 16
+    cfg.ENCODER.CLS_HEAD = False
+    cfg.TRAIN.JOINT_FT = True
+    cfg.TRAIN.COEFF.DISTILL = 1.0
+
+    from s2i_tpu.cli import joint_batch_factory
+
+    out = str(tmp_path / "gan")
+    t = GanTrainer(cfg, out, joint_batch_factory(cfg))
+    assert "enc" in t.state.g_params
+    t.ckpt.save(0, t.state, force=True)
+    t.ckpt.wait()
+    t.close()
+
+    pipe = SpeechToImage.from_checkpoints(cfg, None, os.path.join(out, "ckpt"))
+    wav = np.sin(np.linspace(0, 800, 6000)).astype(np.float32)[None]
+    imgs = pipe.generate(wav, seed=3)
+    assert imgs.shape == (1, 64, 64, 3)
+    assert np.isfinite(imgs).all()
+    np.testing.assert_array_equal(imgs, pipe.generate(wav, seed=3))
+
+    # non-joint cfg without an encoder checkpoint must fail loudly
+    cfg2 = tiny_cfg()
+    with pytest.raises(ValueError):
+        SpeechToImage.from_checkpoints(cfg2, None, os.path.join(out, "ckpt"))
+
+
 def test_sigterm_checkpoints_and_stops(tmp_path):
     """SIGTERM mid-training → clean stop with a checkpoint at the
     interrupted step (preemption robustness)."""

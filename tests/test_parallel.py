@@ -6,6 +6,7 @@ bitwise determinism across runs."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from s2i_tpu import config
@@ -91,6 +92,62 @@ def test_parallel_step_deterministic():
 
     a, b = run(), run()
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("wrong_pair", ["roll", "class_aware"])
+def test_parallel_step_matches_single_device(wrong_pair):
+    """The promise of the SPMD formulation (SURVEY.md §4 'psum correctness'):
+    N steps of the 8-way sharded train step on a global batch equal N steps
+    of the plain single-device step on the same batch — same params, same
+    metrics. Holds because noise is per-global-example, BN stats are
+    cross-device synced, the wrong-pair roll crosses shards via ppermute,
+    and grads are pmean-ed.
+
+    Run under plain SGD: param deltas are then the gradients themselves, so
+    equality is checked at fp32 reduction-noise level. (Under Adam the
+    bias-corrected first step is ~lr·sign(g), which amplifies reduction-order
+    noise in near-zero gradient elements to ±2·lr and proves nothing.)
+    One step only: measured step-1 agreement is ≤3e-6 on every leaf, but a
+    GAN's fp32 reduction-order noise compounds chaotically by step 2."""
+    cfg = tiny_cfg()
+    cfg.TRAIN.OPTIMIZER = "sgd"
+    cfg.TRAIN.WRONG_PAIR = wrong_pair
+    mesh = make_mesh()
+    models = gan.build_models(cfg)
+    ds = SyntheticGanDataset(branch_num=2, emb_dim=32)
+    batch = dict(ds.batch(np.arange(16)))
+    if wrong_pair == "roll":
+        batch.pop("class_id")
+    state0 = gan.init_state(cfg, models, jax.random.key(0), batch)
+
+    step1 = jax.jit(gan.make_train_step(cfg, models))
+    s1, m1 = step1(state0, batch, jax.random.key(1))
+
+    s8 = replicate_state(state0, mesh)
+    sbatch = shard_batch(batch, mesh)
+    pstep = make_parallel_train_step(cfg, models, mesh)
+    s8, m8 = pstep(s8, sbatch, jax.random.key(1))
+
+    def assert_tree_close(a, b, what, atol=1e-5, rtol=1e-4):
+        la, lb = jax.tree.leaves_with_path(a), jax.tree.leaves(b)
+        assert len(la) == len(lb)
+        for (path, x), y in zip(la, lb):
+            np.testing.assert_allclose(
+                np.asarray(x),
+                np.asarray(y),
+                atol=atol,
+                rtol=rtol,
+                err_msg=f"{what}{jax.tree_util.keystr(path)}",
+            )
+
+    assert_tree_close(s1.g_params, s8.g_params, "g_params")
+    assert_tree_close(s1.d_params, s8.d_params, "d_params")
+    assert_tree_close(s1.g_stats, s8.g_stats, "g_stats")
+    assert_tree_close(s1.ema_g, s8.ema_g, "ema_g")
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m8[k]), atol=1e-5, rtol=1e-5, err_msg=k
+        )
 
 
 def test_shard_batch_rejects_indivisible():

@@ -163,3 +163,50 @@ def test_overfit_one_batch_stage1():
     # G's global statistics should move toward the (single) real batch
     assert final_gap < init_gap + 0.05
     assert np.isfinite(final_imgs).all()
+
+
+def test_wrong_pair_sources_avoid_class_collisions():
+    """Class-aware wrong pairs: every chosen source has a different class
+    whenever one exists in the batch (VERDICT r1 item 7)."""
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        cls = jnp.asarray(rng.integers(0, 4, size=12), jnp.int32)
+        src = np.asarray(gan.wrong_pair_sources(cls))
+        assert ((src - np.arange(12)) % 12 != 0).all()  # never self
+        cls_np = np.asarray(cls)
+        for j in range(12):
+            if (cls_np != cls_np[j]).any():
+                assert cls_np[src[j]] != cls_np[j], (trial, j, cls_np, src)
+
+
+def test_wrong_pair_sources_all_same_class_falls_back_to_roll():
+    cls = jnp.zeros((6,), jnp.int32)
+    src = np.asarray(gan.wrong_pair_sources(cls))
+    np.testing.assert_array_equal(src, (np.arange(6) - 1) % 6)
+
+
+def test_class_aware_step_runs():
+    """The jitted step accepts class_id and trains with WRONG_PAIR=class_aware."""
+    cfg = tiny_cfg()
+    cfg.TRAIN.WRONG_PAIR = "class_aware"
+    models = gan.build_models(cfg)
+    ds = SyntheticGanDataset(branch_num=2, emb_dim=32)
+    batch = dict(ds.batch(np.arange(8)))
+    state = gan.init_state(cfg, models, jax.random.key(0), batch)
+    step = jax.jit(gan.make_train_step(cfg, models))
+    state, mets = step(state, batch, jax.random.key(1))
+    assert int(state.step) == 1
+    for k, v in mets.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_class_aware_without_class_id_raises():
+    cfg = tiny_cfg()
+    cfg.TRAIN.WRONG_PAIR = "class_aware"
+    models = gan.build_models(cfg)
+    ds = SyntheticGanDataset(branch_num=2, emb_dim=32)
+    batch = {k: v for k, v in ds.batch(np.arange(8)).items() if k != "class_id"}
+    state = gan.init_state(cfg, models, jax.random.key(0), batch)
+    step = jax.jit(gan.make_train_step(cfg, models))
+    with pytest.raises(ValueError, match="class_id"):
+        step(state, batch, jax.random.key(1))
