@@ -3,7 +3,7 @@
 
 PY := python
 
-.PHONY: test test-fast bench smoke dryrun native clean
+.PHONY: test test-fast bench smoke dryrun native eval-smoke clean
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -21,6 +21,11 @@ dryrun:
 	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 	$(PY) __graft_entry__.py
+
+# Full offline eval chain on CPU: fixture -> train -> sample ->
+# finetune Inception -> IS/FID JSON (VERDICT r1 item 5).
+eval-smoke:
+	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu $(PY) scripts/eval_smoke.py
 
 native:
 	$(PY) -c "from s2i_tpu import native; assert native.native_available(); print('native loader OK')"

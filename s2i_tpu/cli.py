@@ -9,6 +9,7 @@ from __future__ import annotations
 import argparse
 import datetime
 import os
+import time
 
 import numpy as np
 
@@ -94,6 +95,14 @@ def gan_batch_factory(cfg):
 
         return factory
 
+    pipeline = str(cfg.DATA.PIPELINE).lower()
+    if pipeline == "grain":
+        from s2i_tpu.data.grain_pipeline import grain_batch_factory
+
+        return grain_batch_factory(cfg)
+    if pipeline not in ("native", "pil"):
+        raise ValueError(f"unknown DATA.PIPELINE {pipeline!r}")
+
     from s2i_tpu.data.stackgan import GanEpochIterator, StackGanSplit
 
     split = StackGanSplit(
@@ -108,6 +117,8 @@ def gan_batch_factory(cfg):
             int(cfg.TREE.BASE_SIZE),
             seed=int(cfg.SEED) + epoch,
             num_threads=int(cfg.WORKERS),
+            # "native" auto-detects the C++ loader; "pil" forces it off.
+            use_native=None if pipeline == "native" else False,
         )
 
     return factory
@@ -370,12 +381,31 @@ def run_encoder_pretrain(cfg, epochs: int | None = None) -> dict:
     else:
         step_fn = jax.jit(enc_train.make_encoder_train_step(cfg, model))
         prep = lambda b: b
+    # Step-level observability + mid-epoch checkpoints (VERDICT r1 item 8):
+    # epoch-end-only logging hid divergence for hours on real corpora.
+    log_every = int(cfg.ENCODER.LOG_EVERY)
+    snapshot = int(cfg.ENCODER.SNAPSHOT_INTERVAL)
+    # One base key per run, folded per-step inside make_encoder_train_step —
+    # today's step has no stochastic layers, but the stream is already
+    # correct for when dropout/spec-augment lands.
+    base_rng = jax.random.key(int(cfg.SEED) + 17)
     mets = {}
+    step = int(state.step)  # host mirror; device sync only on boundaries
+    t0, seen = time.time(), 0
     for epoch in range(epochs or int(cfg.ENCODER.EPOCHS)):
         for batch in factory(epoch):
-            state, mets = step_fn(state, prep(batch), jax.random.key(0))
-        logger.log(int(state.step), {k: float(v) for k, v in mets.items()})
-        ckpt.save(int(state.step), state)
+            seen += batch["feats"].shape[0]
+            state, mets = step_fn(state, prep(batch), base_rng)
+            step += 1
+            if log_every and step % log_every == 0:
+                dt = time.time() - t0
+                scalars = {k: float(v) for k, v in mets.items()}
+                scalars["examples_per_sec"] = seen / max(dt, 1e-9)
+                logger.log(step, scalars)
+                t0, seen = time.time(), 0
+            if snapshot and step % snapshot == 0:
+                ckpt.save(step, state)
+        ckpt.save(step, state)
     ckpt.wait()
     ckpt.close()
     logger.close()

@@ -119,6 +119,16 @@ def default_cfg() -> AttrDict:
                 "NETWORK_TYPE": "default",
                 "B_CONDITION": True,
             },
+            "DATA": {
+                # L1 input pipeline (SURVEY.md §1 "L1 → Grain + host
+                # decode"): "native" = C++ libjpeg loader + thread pool
+                # (PIL backfill for odd formats), "grain" = Grain
+                # MapDataset with optional multiprocess prefetch,
+                # "pil" = pure-PIL decode (debugging baseline).
+                "PIPELINE": "native",
+                # Grain multiprocess prefetch workers (0 = in-process).
+                "GRAIN_WORKERS": 0,
+            },
             "TEXT": {
                 # Teacher (char-CNN-RNN) embedding dim == speech-encoder output.
                 "DIMENSION": 1024,
@@ -162,6 +172,11 @@ def default_cfg() -> AttrDict:
                 "LR": 1.0e-3,
                 "BATCH_SIZE": 64,
                 "EPOCHS": 100,
+                # Pretrain-loop observability: JSONL scalars every N steps
+                # (0 = epoch-end only) and mid-epoch checkpoints every N
+                # steps (0 = epoch-end only).
+                "LOG_EVERY": 50,
+                "SNAPSHOT_INTERVAL": 1000,
                 "CE_COEFF": 0.1,  # aux CE weight ([?] in SURVEY); 0 disables
                 "NORM_OUT": False,  # L2-normalize the 1024-d embedding
             },

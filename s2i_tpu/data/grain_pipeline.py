@@ -80,7 +80,9 @@ def make_grain_gan_dataset(
 
 
 def grain_batch_factory(cfg):
-    """batch_factory-compatible wrapper (see cli.gan_batch_factory)."""
+    """batch_factory-compatible wrapper, selected by ``DATA.PIPELINE=grain``
+    (see cli.gan_batch_factory). ``DATA.GRAIN_WORKERS`` > 0 decodes in Grain
+    worker processes via mp_prefetch."""
     split = StackGanSplit(
         cfg.DATA_DIR, "train", embedding_file=str(cfg.TEXT.EMBEDDING_FILE)
     )
@@ -93,7 +95,7 @@ def grain_batch_factory(cfg):
                 int(cfg.TREE.BRANCH_NUM),
                 int(cfg.TREE.BASE_SIZE),
                 seed=int(cfg.SEED) + epoch,
-                num_workers=0,
+                num_workers=int(cfg.DATA.GRAIN_WORKERS),
             )
         )
 

@@ -69,7 +69,11 @@ def make_encoder_train_step(
     tx = optax.adam(float(cfg.ENCODER.LR))
 
     def train_step(state: EncoderTrainState, batch: dict, base_rng: jax.Array):
-        del base_rng  # no stochastic layers; kept for API symmetry
+        # Fold the step counter into the base key so resume reproduces the
+        # stream, and hand it to apply() as the dropout collection — unused
+        # by today's deterministic layers, but the threading is already
+        # correct for when dropout/spec-augment lands.
+        rng = jax.random.fold_in(base_rng, state.step)
 
         def loss_fn(params):
             out, new_vars = model.apply(
@@ -78,6 +82,7 @@ def make_encoder_train_step(
                 batch.get("feat_mask"),
                 train=True,
                 mutable=["batch_stats"],
+                rngs={"dropout": rng},
             )
             emb, logits = out if isinstance(out, tuple) else (out, None)
             loss, mets = losses.distillation_loss(

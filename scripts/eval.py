@@ -9,7 +9,8 @@ def load_dir(d, limit=None):
     from PIL import Image
 
     paths = sorted(
-        glob.glob(os.path.join(d, "*.png")) + glob.glob(os.path.join(d, "*.jpg"))
+        glob.glob(os.path.join(d, "**", "*.png"), recursive=True)
+        + glob.glob(os.path.join(d, "**", "*.jpg"), recursive=True)
     )[:limit]
     if not paths:
         raise FileNotFoundError(f"no images under {d}")
@@ -54,6 +55,10 @@ def main():
     p.add_argument("--splits", type=int, default=10)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument(
+        "--json", action="store_true",
+        help="print one machine-readable JSON line instead of text",
+    )
     args = p.parse_args()
     if args.retrieval:
         retrieval_main(args)
@@ -94,11 +99,26 @@ def main():
     gen = load_dir(args.gen_dir, args.limit)
     mean, std = inception_score(gen, ex, args.splits, args.batch)
     trained = bool(args.weights or args.finetuned_ckpt)
-    print(f"IS: {mean:.4f} +- {std:.4f}" + ("" if trained else "  [random-weight Inception: plumbing only]"))
+    fid = None
     if args.real_dir:
         real = load_dir(args.real_dir, args.limit)
-        f = fid_score(gen, real, ex, args.batch)
-        print(f"FID: {f:.4f}")
+        fid = fid_score(gen, real, ex, args.batch)
+    if args.json:
+        import json
+
+        rec = {
+            "is_mean": round(float(mean), 4),
+            "is_std": round(float(std), 4),
+            "n_gen": int(gen.shape[0]),
+            "inception": "finetuned" if trained else "random-weight",
+        }
+        if fid is not None:
+            rec["fid"] = round(float(fid), 4)
+        print(json.dumps(rec))
+        return
+    print(f"IS: {mean:.4f} +- {std:.4f}" + ("" if trained else "  [random-weight Inception: plumbing only]"))
+    if fid is not None:
+        print(f"FID: {fid:.4f}")
 
 
 if __name__ == "__main__":

@@ -19,6 +19,13 @@ def main():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--warm_start", default=None, help="torch .pth state_dict")
+    p.add_argument(
+        "--image_size", type=int, default=299,
+        help="train-time input size (the model is size-agnostic; small "
+        "values make CPU smoke runs feasible)",
+    )
+    p.add_argument("--base_size", type=int, default=256,
+                   help="loader image size before the train-step resize")
     args = p.parse_args()
     cfg = cli.resolve_cfg(args)
     run_dir = cli.make_run_dir(cfg, "inception")
@@ -34,9 +41,10 @@ def main():
 
     n_classes = int(cfg.ENCODER.N_CLASSES)
     model, state = init_inception_state(
-        n_classes, jax.random.key(int(cfg.SEED)), args.lr, warm
+        n_classes, jax.random.key(int(cfg.SEED)), args.lr, warm,
+        image_size=args.image_size,
     )
-    step = make_inception_train_step(model, args.lr)
+    step = make_inception_train_step(model, args.lr, image_size=args.image_size)
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
     logger = ScalarLogger(run_dir)
 
@@ -44,7 +52,7 @@ def main():
 
     split = StackGanSplit(cfg.DATA_DIR, "train")
     for epoch in range(args.epochs):
-        it = GanEpochIterator(split, args.batch, 1, base_size=256,
+        it = GanEpochIterator(split, args.batch, 1, base_size=args.base_size,
                               seed=int(cfg.SEED) + epoch)
         mets = {}
         for b in it:

@@ -192,3 +192,44 @@ def test_embedding_extraction_writes_consumable_pickles(fake_dataset, tmp_path):
     )
     b = next(iter(GanEpochIterator(split, 4, 2, seed=0)))
     assert b["embedding"].shape == (4, EMB)
+
+
+def test_grain_mp_prefetch_matches_in_process(fake_dataset):
+    """DATA.GRAIN_WORKERS>0 decodes in worker processes; batches must be
+    bit-identical to the in-process path (per-example index-derived rng)."""
+    from s2i_tpu.data.grain_pipeline import make_grain_gan_dataset
+
+    split = StackGanSplit(fake_dataset, "train")
+    inproc = list(make_grain_gan_dataset(split, 2, 2, seed=3, num_workers=0))
+    mp = list(make_grain_gan_dataset(split, 2, 2, seed=3, num_workers=2))
+    assert len(inproc) == len(mp)
+    for a, b in zip(inproc, mp):
+        np.testing.assert_array_equal(a["embedding"], b["embedding"])
+        np.testing.assert_array_equal(a["class_id"], b["class_id"])
+        for s in range(2):
+            np.testing.assert_array_equal(a["images"][s], b["images"][s])
+
+
+def test_gan_batch_factory_pipeline_selection(fake_dataset):
+    """cfg.DATA.PIPELINE routes L1: grain and pil produce trainer-ready
+    batches; unknown values fail loudly."""
+    from s2i_tpu import cli, config
+
+    def cfg_with(pipeline):
+        c = config.default_cfg()
+        c.DATASET_NAME = "birds"
+        c.DATA_DIR = fake_dataset
+        c.TEXT.DIMENSION = EMB
+        c.TREE.BRANCH_NUM = 2
+        c.TRAIN.BATCH_SIZE = 2
+        c.DATA.PIPELINE = pipeline
+        return c
+
+    for pipeline in ("grain", "pil", "native"):
+        factory = cli.gan_batch_factory(cfg_with(pipeline))
+        b = next(iter(factory(0)))
+        assert b["images"][1].shape == (2, 128, 128, 3), pipeline
+        assert b["embedding"].shape == (2, EMB), pipeline
+
+    with pytest.raises(ValueError):
+        cli.gan_batch_factory(cfg_with("bogus"))

@@ -167,6 +167,12 @@ def test_torch_weight_mapper_full_roundtrip():
         else:
             walk(params[top], stats.get(top, {}), top + ".")
 
+    # Real torch.Tensor leaves, exactly what torch.load() yields — exercises
+    # the tensor->numpy conversion path in the mapper, not just ndarray
+    # passthrough.
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
     out = load_torch_inception(sd, num_classes=7)
 
     flat_a = jax.tree.leaves_with_path({"params": params, "batch_stats": stats})
