@@ -4,21 +4,36 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 256 (the BASELINE.json:5 target of ≥256 images/sec/chip
 for full 3-stage 64/128/256 training on TPU v5e).
 
-The TPU in this environment is reached through a relay tunnel that
-throttles sustained throughput ~10x after a burst of steps (measured: the
-same compiled step runs 1227 imgs/sec in the first post-compile window and
-~120 sustained; an interleaved A/B shows the collapse is identical for
-unrelated programs, i.e. environment-bound). We therefore report the best
-trial block — the chip's actual capability — with small blocks so the
-un-throttled window is captured.
+Measurement integrity (round-2 re-certification): on this container's
+relay-tunneled TPU, ``jax.block_until_ready`` returns before the work is
+done (measured 0.07 ms for a ≥35 ms matmul chain), so timings must be
+anchored to a host readback of real bytes. Method: K train steps chained
+in ONE jitted lax.scan, reduced to a scalar on device, timed via
+``float(...)``; two chain lengths are differenced so fixed costs (relay
+RTT ~32 ms, dispatch, transfer) cancel. Calibration against a known-FLOP
+matmul chain reproduces the chip's bf16 peak within 2%
+(scripts/perf_cert.py has the full story). The relay also throttles
+~10x after sustained bursts, so each measurement takes best-of-trials.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
 import numpy as np
+
+
+def _timed_scalar(fn, *args, reps: int = 4) -> float:
+    """Best-of-reps wall time of fn(*args) where fn returns a DEVICE scalar;
+    float() forces a real readback (the only sync the relay can't fake)."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def bench_frontend() -> None:
@@ -33,27 +48,36 @@ def bench_frontend() -> None:
     import jax
     import jax.numpy as jnp
 
-    from s2i_tpu.audio.frontend import FrontendParams
-    from s2i_tpu.ops.mel_kernel import logmel_pallas
+    from s2i_tpu.audio.frontend import FrontendParams, logmel_jnp
 
     p = FrontendParams()
     rng = np.random.default_rng(0)
-    n_calls = 12
-    wavs = [
-        jnp.asarray(rng.standard_normal((8, 64000)).astype(np.float32))
-        for _ in range(n_calls)
-    ]
-    out = logmel_pallas(wavs[0], p)  # compile
-    jax.block_until_ready(out)
+    wav = jnp.asarray(rng.standard_normal((8, 64000)).astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnames="k")
+    def run_k(wav, k):
+        def body(w, _):
+            # production-default frontend path (jnp; measured faster than
+            # the Pallas kernel on v5e — docs/PERF.md);
+            # data dependency defeats overlap/dedup across the k calls
+            out = logmel_jnp(w, p)
+            return w + 1e-12 * jnp.sum(out.astype(jnp.float32)), None
+
+        w, _ = jax.lax.scan(body, wav, None, length=k)
+        return jnp.sum(w.astype(jnp.float32))
+
+    out = logmel_jnp(wav, p)
     n_frames = out.shape[0] * out.shape[1]
+    k_lo, k_hi = 2, 22
+    for k in (k_lo, k_hi):
+        float(run_k(wav, k))  # compile
     best = 0.0
-    for _ in range(4):
-        times = []
-        for i in range(n_calls):
-            t0 = time.perf_counter()
-            jax.block_until_ready(logmel_pallas(wavs[i], p))
-            times.append(time.perf_counter() - t0)
-        best = max(best, n_frames / min(times))
+    for _ in range(3):
+        t_lo = _timed_scalar(run_k, wav, k_lo)
+        t_hi = _timed_scalar(run_k, wav, k_hi)
+        per = (t_hi - t_lo) / (k_hi - k_lo)
+        if per > 0:
+            best = max(best, n_frames / per)
     print(
         json.dumps(
             {
@@ -136,22 +160,34 @@ def main() -> None:
     batch = {
         k: v for k, v in ds.batch(np.arange(batch_size)).items() if k != "class_id"
     }
+    import jax.numpy as jnp
+
+    batch = jax.tree.map(jnp.asarray, batch)
     state = gan.init_state(cfg, models, jax.random.key(0), batch)
-    step = jax.jit(gan.make_train_step(cfg, models))
+    step = gan.make_train_step(cfg, models)
 
-    # warmup / compile
-    state, _ = step(state, batch, jax.random.key(1))
-    jax.block_until_ready(state)
+    @functools.partial(jax.jit, static_argnames="k")
+    def run_k(state, batch, rng, k):
+        def body(s, _):
+            s2, _m = step(s, batch, rng)  # rng folds s.step: steps differ
+            return s2, None
 
+        out, _ = jax.lax.scan(body, state, None, length=k)
+        return sum(
+            jnp.sum(x.astype(jnp.float32))
+            for x in jax.tree.leaves(out.g_params)
+        )
+
+    k_lo, k_hi = 2, 10
+    for k in (k_lo, k_hi):
+        float(run_k(state, batch, jax.random.key(1), k))  # compile
     best = 0.0
-    n_steps = 8
-    for _trial in range(6):
-        t0 = time.perf_counter()
-        for _ in range(n_steps):
-            state, _ = step(state, batch, jax.random.key(1))
-        jax.block_until_ready(state)
-        dt = (time.perf_counter() - t0) / n_steps
-        best = max(best, batch_size / dt)
+    for _trial in range(3):
+        t_lo = _timed_scalar(run_k, state, batch, jax.random.key(1), k_lo)
+        t_hi = _timed_scalar(run_k, state, batch, jax.random.key(1), k_hi)
+        per = (t_hi - t_lo) / (k_hi - k_lo)
+        if per > 0:
+            best = max(best, batch_size / per)
 
     print(
         json.dumps(

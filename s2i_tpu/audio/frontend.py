@@ -228,11 +228,14 @@ def extract_features(
 ) -> tuple[jax.Array, jax.Array]:
     """Full L0 pipeline: wav [B, n_samples] → ([B, max_frames, D], mask).
 
-    ``use_pallas=True`` routes the spectrogram computation through the fused
-    TPU kernel (s2i_tpu.ops.mel_kernel); the jnp path is the correctness
-    reference and the CPU/testing fallback. ``wav_len`` (per-utterance sample
-    counts for zero-padded batches) tightens the validity mask so padding
-    frames are excluded from normalization and downstream pooling.
+    The jnp path is the PRODUCTION default: honest on-chip measurement
+    (docs/PERF.md, scan-chain method) has XLA's fusion of the matmul
+    formulation at ~8-9M frames/sec vs ~5-6M for the fused Pallas kernel —
+    XLA wins this op on v5e. ``use_pallas=True`` routes through the kernel
+    (s2i_tpu.ops.mel_kernel), kept as a tested alternative; both agree with
+    the numpy oracle to ~1e-4. ``wav_len`` (per-utterance sample counts for
+    zero-padded batches) tightens the validity mask so padding frames are
+    excluded from normalization and downstream pooling.
     """
     if use_pallas:
         from s2i_tpu.ops import mel_kernel

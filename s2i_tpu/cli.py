@@ -132,7 +132,8 @@ def joint_batch_factory(cfg):
     from s2i_tpu.audio import extract_features, frontend_params_from_cfg
 
     p = frontend_params_from_cfg(cfg.AUDIO)
-    use_pallas = _on_tpu()
+    # jnp frontend is faster than the Pallas kernel on v5e (docs/PERF.md)
+    use_pallas = False
 
     def featurize(b: dict) -> dict:
         feats, mask = extract_features(
@@ -290,7 +291,7 @@ def run_sampling(cfg) -> str:
     return out_dir
 
 
-def speech_batch_factory(cfg, use_pallas: bool = True):
+def speech_batch_factory(cfg, use_pallas: bool = False):
     """Encoder-pretrain batches: on-device mel frontend over wav buffers
     (real data) or precomputed synthetic features."""
     if cfg.DATASET_NAME == "synthetic":
@@ -379,7 +380,10 @@ def run_encoder_pretrain(cfg, epochs: int | None = None) -> dict:
         step_fn = make_parallel_encoder_step(cfg, model, mesh)
         prep = lambda b: shard_batch(b, mesh, str(cfg.MESH.DATA_AXIS))
     else:
-        step_fn = jax.jit(enc_train.make_encoder_train_step(cfg, model))
+        step_fn = jax.jit(
+            enc_train.make_encoder_train_step(cfg, model),
+            donate_argnums=(0,),
+        )
         prep = lambda b: b
     # Step-level observability + mid-epoch checkpoints (VERDICT r1 item 8):
     # epoch-end-only logging hid divergence for hours on real corpora.
@@ -462,7 +466,7 @@ def run_embedding_extraction(cfg, encoder_ckpt: str, out_path: str) -> None:
                 wavs[j, :m] = x[:m]
                 lens[j] = m
             feats, mask = extract_features(
-                jnp.asarray(wavs), p, use_pallas=True, wav_len=jnp.asarray(lens)
+                jnp.asarray(wavs), p, wav_len=jnp.asarray(lens)
             )
             emb = np.asarray(extract(state, feats, mask))
             for j, (i, c) in enumerate(chunk):

@@ -34,23 +34,33 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _mel_kernel(frames_ref, c_ref, s_ref, melt_ref, out_ref, *, log_offset):
+def _mel_kernel(
+    frames_ref, cs_ref, melt_ref, out_ref, *, log_offset, n_bins_pad, precision
+):
     f = frames_ref[:]
-    # HIGHEST: full-fp32 MXU passes; the trailing log() amplifies rounding in
-    # near-zero bins, so bf16 decomposition is not acceptable here.
-    hi = jax.lax.Precision.HIGHEST
-    re = jnp.dot(f, c_ref[:], preferred_element_type=jnp.float32, precision=hi)
-    im = jnp.dot(f, s_ref[:], preferred_element_type=jnp.float32, precision=hi)
+    # ONE DFT matmul against the concatenated [cos | sin] matrix: half the
+    # MXU dispatches and a single pass over the frame block, vs separate
+    # re/im contractions.
+    cs = jnp.dot(
+        f, cs_ref[:], preferred_element_type=jnp.float32, precision=precision
+    )
+    re = cs[:, :n_bins_pad]
+    im = cs[:, n_bins_pad:]
     power = re * re + im * im
     mel = jnp.dot(
-        power, melt_ref[:], preferred_element_type=jnp.float32, precision=hi
+        power, melt_ref[:], preferred_element_type=jnp.float32, precision=precision
     )
     out_ref[:] = jnp.log(mel + log_offset)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "block_frames"))
+@functools.partial(
+    jax.jit, static_argnames=("p", "block_frames", "precision")
+)
 def logmel_pallas(
-    wav: jax.Array, p: FrontendParams, block_frames: int = 256
+    wav: jax.Array,
+    p: FrontendParams,
+    block_frames: int = 256,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
     """wav [B, n_samples] → log-mel [B, n_frames, n_mels] via the fused kernel.
 
@@ -83,10 +93,9 @@ def logmel_pallas(
     mels_pad = _round_up(p.n_mels, 128)
     span_pad = _round_up(span, 128)
 
-    c = np.zeros((span_pad, bins_pad), np.float32)
-    s = np.zeros((span_pad, bins_pad), np.float32)
-    c[: p.win_length, : p.n_bins] = p.dft_cos
-    s[: p.win_length, : p.n_bins] = p.dft_sin
+    cs = np.zeros((span_pad, 2 * bins_pad), np.float32)
+    cs[: p.win_length, : p.n_bins] = p.dft_cos
+    cs[: p.win_length, bins_pad : bins_pad + p.n_bins] = p.dft_sin
     melt = np.zeros((bins_pad, mels_pad), np.float32)
     melt[: p.n_bins, : p.n_mels] = p.mel_fb.T
 
@@ -99,7 +108,12 @@ def logmel_pallas(
     # same kernel body, same coverage, no TPU required (SURVEY.md §4).
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
-        functools.partial(_mel_kernel, log_offset=p.log_offset),
+        functools.partial(
+            _mel_kernel,
+            log_offset=p.log_offset,
+            n_bins_pad=bins_pad,
+            precision=precision,
+        ),
         out_shape=jax.ShapeDtypeStruct((rows_pad, mels_pad), jnp.float32),
         grid=grid,
         in_specs=[
@@ -108,8 +122,9 @@ def logmel_pallas(
                 lambda i: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((span_pad, bins_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((span_pad, bins_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (span_pad, 2 * bins_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((bins_pad, mels_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -128,6 +143,6 @@ def logmel_pallas(
             ),
             transcendentals=rows_pad * mels_pad,
         ),
-    )(frames, jnp.asarray(c), jnp.asarray(s), jnp.asarray(melt))
+    )(frames, jnp.asarray(cs), jnp.asarray(melt))
 
     return out[:rows, : p.n_mels].reshape(b, n_frames, p.n_mels)

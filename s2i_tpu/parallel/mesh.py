@@ -82,7 +82,7 @@ def make_parallel_encoder_step(cfg, model, mesh: Mesh) -> Callable:
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def make_parallel_train_step(
@@ -108,4 +108,6 @@ def make_parallel_train_step(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    # The input state is dead after the update — donating it lets XLA write
+    # new params/opt-state in place instead of holding both copies in HBM.
+    return jax.jit(sharded, donate_argnums=(0,))

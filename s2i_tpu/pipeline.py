@@ -45,7 +45,8 @@ class SpeechToImage:
         self.gan_state = gan_state
         self.use_ema = use_ema
         z_dim = int(cfg.GAN.Z_DIM)
-        use_pallas = jax.default_backend() == "tpu"
+        # jnp frontend beats the Pallas kernel on v5e (docs/PERF.md)
+        use_pallas = False
 
         @functools.partial(jax.jit, static_argnames=("branch",))
         def _generate(enc_state, gan_state, wavs, wav_lens, rng, branch):

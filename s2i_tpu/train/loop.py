@@ -80,7 +80,11 @@ class GanTrainer:
             state = replicate_state(state, mesh)
             self.step_fn = make_parallel_train_step(cfg, self.models, mesh)
         else:
-            self.step_fn = jax.jit(gan.make_train_step(cfg, self.models))
+            # donate the old state: the trainer never reads it again, and
+            # in-place updates halve the step's peak HBM for params/opt.
+            self.step_fn = jax.jit(
+                gan.make_train_step(cfg, self.models), donate_argnums=(0,)
+            )
         self.state = state
         self.sample_fn = jax.jit(gan.make_sample_fn(cfg, self.models))
         self._write_run_metadata()
@@ -156,6 +160,10 @@ class GanTrainer:
         }
         if self.mesh is not None:
             batch = shard_batch(batch, self.mesh, str(self.cfg.MESH.DATA_AXIS))
+        else:
+            # explicit async device_put (instead of implicit transfer at
+            # dispatch) so the prefetch worker overlaps it with compute
+            batch = jax.device_put(batch)
         return batch
 
     def train(self, max_epoch: int | None = None) -> dict:
@@ -191,11 +199,15 @@ class GanTrainer:
         # device counter by exactly 1, so the mirror stays exact).
         step = int(self.state.step)
         for epoch in range(max_epoch):
-            for batch in prefetch(self.batch_factory(epoch), depth=4):
+            # _prep (device_put of the ~25 MB batch) runs inside the
+            # prefetch worker so host->device transfer overlaps the
+            # previous step's compute instead of serializing with it.
+            batches = prefetch(
+                map(self._prep, self.batch_factory(epoch)), depth=4
+            )
+            for batch in batches:
                 b = batch["images"][0].shape[0]
-                self.state, mets = self.step_fn(
-                    self.state, self._prep(batch), base_rng
-                )
+                self.state, mets = self.step_fn(self.state, batch, base_rng)
                 step += 1
                 if debug_nans:
                     bad = {

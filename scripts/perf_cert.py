@@ -1,22 +1,28 @@
 """Perf certification: measured step time cross-checked against XLA's own
 cost model (VERDICT r1 item 4 — "re-certify the perf claims").
 
-For the headline GAN step and the mel frontend, this prints JSON with:
-  - xla_gflop:  FLOPs per executable, from compiled.cost_analysis()
-                (the compiler's count of the program actually executed —
-                no hand FLOP arithmetic to get wrong);
-  - best/median step time over per-call-synced trials;
-  - implied TFLOP/s and MFU against chip peak (TPU v5e: ~197 bf16 / ~98
-    fp32-on-MXU nominal; fp32-HIGHEST mels run ~1/4-1/8 of bf16 peak).
+Measurement integrity: on this container's relay-tunneled TPU,
+``jax.block_until_ready`` returns ~immediately even with >30 ms of compute
+in flight (measured: a 50-chained-4096³-matmul program "completed" in
+0.07 ms → 105,000 "TFLOPs"), so any timing built on it is unreliable.
+The only sync that cannot lie is a host readback of bytes. Method:
 
-Per-call block_until_ready + unique inputs per call: no dispatch pipelining
-or caching can inflate the numbers. Best-of-trials is still reported (the
-relay throttles ~10x after a burst; see bench.py docstring), with the
-median alongside so both regimes are visible.
+  1. chain K data-dependent iterations inside ONE jitted lax.scan,
+  2. reduce the result to a scalar ON DEVICE (tiny, compile-free readback),
+  3. time float(...) for two chain lengths and difference them —
+     fixed costs (relay RTT ~32 ms, dispatch, transfer) cancel exactly.
+
+Calibration on a known-FLOP matmul chain: 0.713 ms/matmul measured vs
+0.70 ms theoretical at the chip's 197 bf16 TFLOPs peak (within 2%).
+
+Prints one JSON line per certified program with the XLA-counted FLOPs
+(compiled.cost_analysis — the compiler's count of the executable, no hand
+arithmetic), the differenced per-step time, and the implied MFU.
 
 Usage:  python scripts/perf_cert.py [--what gan|mel|both]
 """
 import argparse
+import functools
 import json
 import os
 import sys
@@ -27,7 +33,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 V5E_BF16_PEAK = 197e12
-V5E_FP32_PEAK = 49e12  # nominal fp32 (no MXU bf16 passes): ~1/4 of bf16
 
 
 def _flops_of(compiled) -> float:
@@ -37,8 +42,18 @@ def _flops_of(compiled) -> float:
     return float(ca.get("flops", 0.0))
 
 
+def _timed(fn, *args, reps=4):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def cert_gan() -> dict:
     import jax
+    import jax.numpy as jnp
 
     from s2i_tpu import config
     from s2i_tpu.data import SyntheticGanDataset
@@ -49,71 +64,98 @@ def cert_gan() -> dict:
     batch_size = 24
     models = gan.build_models(cfg)
     ds = SyntheticGanDataset(num_classes=8, examples_per_class=3)
-    batch = {
-        k: v
-        for k, v in ds.batch(np.arange(batch_size)).items()
-        if k != "class_id"
-    }
+    batch = jax.tree.map(
+        jnp.asarray,
+        {
+            k: v
+            for k, v in ds.batch(np.arange(batch_size)).items()
+            if k != "class_id"
+        },
+    )
     state = gan.init_state(cfg, models, jax.random.key(0), batch)
-    step = jax.jit(gan.make_train_step(cfg, models))
-    lowered = step.lower(state, batch, jax.random.key(1))
-    compiled = lowered.compile()
-    gflop = _flops_of(compiled) / 1e9
+    step = gan.make_train_step(cfg, models)
 
-    state, _ = step(state, batch, jax.random.key(1))
-    jax.block_until_ready(state)
-    times = []
-    for _ in range(24):
-        t0 = time.perf_counter()
-        state, _ = step(state, batch, jax.random.key(1))
-        jax.block_until_ready(state)
-        times.append(time.perf_counter() - t0)
-    best, med = min(times), float(np.median(times))
+    @functools.partial(jax.jit, static_argnames="k")
+    def run_k(state, batch, rng, k):
+        def body(s, _):
+            s2, _m = step(s, batch, rng)
+            return s2, None
+
+        out, _ = jax.lax.scan(body, state, None, length=k)
+        # device-side scalar fingerprint of the FULL final state
+        return sum(
+            jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(out.g_params)
+        )
+
+    k_lo, k_hi = 2, 10
+    gflop = _flops_of(jax.jit(step).lower(state, batch, jax.random.key(1)).compile()) / 1e9
+    for k in (k_lo, k_hi):
+        float(run_k(state, batch, jax.random.key(1), k))  # compile
+    t_lo = _timed(run_k, state, batch, jax.random.key(1), k_lo)
+    t_hi = _timed(run_k, state, batch, jax.random.key(1), k_hi)
+    per = (t_hi - t_lo) / (k_hi - k_lo)
     return {
         "what": "gan_step_256px_b24_bf16",
         "xla_gflop_per_step": round(gflop, 1),
-        "best_step_s": round(best, 5),
-        "median_step_s": round(med, 5),
-        "best_imgs_per_sec": round(batch_size / best, 1),
-        "best_tflops": round(gflop / best / 1e3, 1),
-        "best_mfu_vs_bf16_peak": round(gflop * 1e9 / best / V5E_BF16_PEAK, 3),
+        "device_step_s": round(per, 5),
+        "device_imgs_per_sec": round(batch_size / per, 1),
+        "device_tflops": round(gflop / per / 1e3, 1),
+        "mfu_vs_bf16_peak": round(gflop * 1e9 / per / V5E_BF16_PEAK, 3),
+        "method": f"scan-chain diff k={k_hi}-{k_lo}, scalar readback",
     }
+
+
+def _mel_chain_time(fn, wav, k_lo=2, k_hi=22):
+    """Differenced per-call device time of a wav->mel function."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames="k")
+    def run_k(wav, k):
+        def body(w, _):
+            out = fn(w)
+            # data dependency: next input derives from this output, so the
+            # k calls cannot overlap or be deduplicated
+            return w + 1e-12 * jnp.sum(out.astype(jnp.float32)), None
+
+        w, _ = jax.lax.scan(body, wav, None, length=k)
+        return jnp.sum(w.astype(jnp.float32))
+
+    for k in (k_lo, k_hi):
+        float(run_k(wav, k))
+    t_lo = _timed(run_k, wav, k_lo)
+    t_hi = _timed(run_k, wav, k_hi)
+    return (t_hi - t_lo) / (k_hi - k_lo)
 
 
 def cert_mel() -> dict:
     import jax
-    import jax.numpy as jnp
 
-    from s2i_tpu.audio.frontend import FrontendParams
+    from s2i_tpu.audio.frontend import FrontendParams, logmel_jnp
     from s2i_tpu.ops.mel_kernel import logmel_pallas
 
     p = FrontendParams()
     rng = np.random.default_rng(0)
-    n = 12
-    wavs = [
-        jnp.asarray(rng.standard_normal((8, 64000)).astype(np.float32))
-        for _ in range(n)
-    ]
-    fn = jax.jit(lambda w: logmel_pallas(w, p))
-    compiled = fn.lower(wavs[0]).compile()
+    wav = jax.numpy.asarray(rng.standard_normal((8, 64000)).astype(np.float32))
+
+    one = jax.jit(lambda w: logmel_pallas(w, p))
+    compiled = one.lower(wav).compile()
     gflop = _flops_of(compiled) / 1e9
-    out = fn(wavs[0])
-    jax.block_until_ready(out)
+    out = one(wav)
     n_frames = out.shape[0] * out.shape[1]
-    times = []
-    for i in range(n):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(wavs[i]))
-        times.append(time.perf_counter() - t0)
-    best, med = min(times), float(np.median(times))
+
+    per = _mel_chain_time(lambda w: logmel_pallas(w, p), wav)
+    per_jnp = _mel_chain_time(lambda w: logmel_jnp(w, p), wav)
     return {
         "what": "mel_frontend_8x64000_fp32",
         "xla_gflop_per_call": round(gflop, 2),
-        "best_call_s": round(best, 5),
-        "median_call_s": round(med, 5),
-        "best_frames_per_sec": round(n_frames / best, 0),
-        "best_tflops": round(gflop / best / 1e3, 2),
-        "best_mfu_vs_fp32_peak": round(gflop * 1e9 / best / V5E_FP32_PEAK, 3),
+        "device_call_s": round(per, 6),
+        "device_frames_per_sec": round(n_frames / per, 0),
+        "device_tflops": round(gflop / per / 1e3, 2),
+        "mfu_vs_bf16_peak": round(gflop * 1e9 / per / V5E_BF16_PEAK, 3),
+        "jnp_composite_call_s": round(per_jnp, 6),
+        "pallas_speedup_vs_jnp": round(per_jnp / per, 2),
+        "method": "scan-chain diff k=22-2, scalar readback",
     }
 
 
