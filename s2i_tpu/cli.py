@@ -70,8 +70,25 @@ def make_mesh_if_configured(cfg):
     from s2i_tpu.parallel import make_mesh
 
     n = int(cfg.MESH.NUM_DEVICES)
-    if n == 0 and len(jax.devices()) == 1:
-        return None  # single chip: plain jit, no shard_map overhead
+    n_avail = len(jax.devices())
+    if n == 0:
+        if n_avail == 1:
+            return None  # single chip: plain jit, no shard_map overhead
+        # Auto mesh: largest device count that divides the global batch.
+        # The sharded step is exactly equal to the single-device step
+        # (tests/test_parallel.py psum-correctness), so shrinking the mesh
+        # only costs parallelism — strictly better than erroring out.
+        b = int(cfg.TRAIN.BATCH_SIZE)
+        n = n_avail
+        while n > 1 and b % n:
+            n -= 1
+        if n < n_avail:
+            print(
+                f"mesh: using {n}/{n_avail} devices (TRAIN.BATCH_SIZE={b} "
+                f"not divisible by {n_avail})"
+            )
+        if n == 1:
+            return None
     return make_mesh(n, str(cfg.MESH.DATA_AXIS))
 
 

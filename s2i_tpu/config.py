@@ -116,6 +116,13 @@ def default_cfg() -> AttrDict:
                 "EMBEDDING_DIM": 128,  # CA-net condition dim
                 "R_NUM": 2,  # residual blocks per next-stage
                 "REMAT": False,  # rematerialize G stages in backward
+                # Upsample-conv formulation in G's up-blocks: "naive" |
+                # "fused" | "fused4" | "transpose" (see layers.UpConv3x3;
+                # all are the same math and checkpoint-compatible — safe to
+                # flip mid-run). "transpose" (lhs-dilated conv, 2.25× fewer
+                # MACs) measured fastest on v5e: 516 vs 490 imgs/sec over
+                # "naive" (docs/PERF.md has the full A/B).
+                "UPSAMPLE_MODE": "transpose",
                 "NETWORK_TYPE": "default",
                 "B_CONDITION": True,
             },

@@ -37,6 +37,7 @@ class InitStageG(nn.Module):
     gf_dim: int  # channel count at the 4×4 map == 16 * cfg.GAN.GF_DIM
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    up_mode: str = "naive"
 
     @nn.compact
     def __call__(self, z: jax.Array, c: jax.Array, train: bool = True):
@@ -55,9 +56,12 @@ class InitStageG(nn.Module):
         # weights exist to port), consistent across train/sample/ckpt.
         x = x.reshape(x.shape[0], 4, 4, ngf)
         for i in range(4):  # 4×4 → 64×64
-            x = UpBlockGLU(ngf // (2 ** (i + 1)), self.dtype, self.axis_name)(
-                x, train
-            )
+            x = UpBlockGLU(
+                ngf // (2 ** (i + 1)),
+                self.dtype,
+                self.axis_name,
+                self.up_mode,
+            )(x, train)
         return x  # [B, 64, 64, ngf/16]
 
 
@@ -66,6 +70,7 @@ class NextStageG(nn.Module):
     num_res: int = 2
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    up_mode: str = "naive"
 
     @nn.compact
     def __call__(self, h: jax.Array, c: jax.Array, train: bool = True):
@@ -78,7 +83,9 @@ class NextStageG(nn.Module):
         x = Block3x3GLU(ngf, self.dtype, self.axis_name)(x, train)
         for _ in range(self.num_res):
             x = ResBlockGLU(ngf, self.dtype, self.axis_name)(x, train)
-        x = UpBlockGLU(ngf // 2, self.dtype, self.axis_name)(x, train)
+        x = UpBlockGLU(ngf // 2, self.dtype, self.axis_name, self.up_mode)(
+            x, train
+        )
         return x  # [B, 2H, 2W, ngf/2]
 
 
@@ -103,6 +110,10 @@ class GNet(nn.Module):
     # Rematerialize each stage in the backward pass (cfg.GAN.REMAT): trades
     # recompute FLOPs for HBM activation traffic — enables larger batches.
     remat: bool = False
+    # Upsample-conv formulation (cfg.GAN.UPSAMPLE_MODE, see UpConv3x3);
+    # all modes are checkpoint-compatible with each other. "transpose"
+    # measured fastest on v5e (docs/PERF.md A/B).
+    up_mode: str = "transpose"
 
     @nn.compact
     def __call__(
@@ -113,14 +124,23 @@ class GNet(nn.Module):
             init_cls = nn.remat(InitStageG, static_argnums=(3,))
             next_cls = nn.remat(NextStageG, static_argnums=(3,))
         imgs = []
-        h = init_cls(self.gf_dim * 16, self.dtype, self.axis_name, name="init")(
-            z, c, train
-        )
+        h = init_cls(
+            self.gf_dim * 16,
+            self.dtype,
+            self.axis_name,
+            self.up_mode,
+            name="init",
+        )(z, c, train)
         imgs.append(ToRGB(self.dtype, name="to_rgb0")(h))
         ngf = self.gf_dim
         for i in range(1, self.branch_num):
             h = next_cls(
-                ngf, self.num_res, self.dtype, self.axis_name, name=f"next{i}"
+                ngf,
+                self.num_res,
+                self.dtype,
+                self.axis_name,
+                self.up_mode,
+                name=f"next{i}",
             )(h, c, train)
             ngf //= 2
             imgs.append(ToRGB(self.dtype, name=f"to_rgb{i}")(h))

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -43,6 +44,125 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, 2 * h, 2 * w, c)
+
+
+# Phase-collapse matrices for the sub-pixel forms of UpConv3x3 (below).
+# R_a maps the 3 kernel taps of output phase a onto its 2 source taps:
+# output row 2i+a of conv3x3(nearest2x(x)) only ever reads source rows
+# {i-1, i} (a=0, weights [W0, W1+W2]) or {i, i+1} (a=1, [W0+W1, W2]).
+_PHASE_R = (
+    ((1.0, 0.0, 0.0), (0.0, 1.0, 1.0)),  # a = 0
+    ((1.0, 1.0, 0.0), (0.0, 0.0, 1.0)),  # a = 1
+)
+# The same collapse written as one interleaved 4-tap kernel for the
+# lhs-dilated (transposed-conv) form: rows [W0, W0+W1, W1+W2, W2].
+_PHASE_M4 = (
+    (1.0, 0.0, 0.0),
+    (1.0, 1.0, 0.0),
+    (0.0, 1.0, 1.0),
+    (0.0, 0.0, 1.0),
+)
+
+
+class UpConv3x3(nn.Module):
+    """3×3 'same' conv applied to the nearest-neighbor ×2 upsample of the
+    input. Four mathematically identical formulations (``mode``), sharing one
+    standard ``[3,3,C_in,C_out]`` kernel param — checkpoints are
+    interchangeable and ``GAN.UPSAMPLE_MODE`` can be flipped on a run:
+
+    - ``naive``:     materialize the 2H×2W upsample, one 3×3 conv (XLA often
+                     fuses the broadcast into the conv input).
+    - ``fused``:     sub-pixel phase decomposition as ONE 2×2 conv on the
+                     1-padded source producing all 4 phases (4·C_out
+                     channels), sliced + interleaved back to 2H×2W.
+                     16 MACs/out-pixel·C_in vs the naive 36.
+    - ``fused4``:    same math as ``fused`` but four separate 2×2 convs with
+                     per-phase padding (no offset slices), then interleave.
+    - ``transpose``: one lhs-dilated (stride-2 transposed) conv with the
+                     4×4 interleaved-phase kernel — XLA picks the lowering.
+
+    All tap sums happen in fp32 before the compute-dtype cast."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    mode: str = "naive"
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        cout = self.features
+        kernel = self.param(
+            "kernel", conv_init, (3, 3, cin, cout), jnp.float32
+        )
+        dn = ("NHWC", "HWIO", "NHWC")
+        b, h, w, _ = x.shape
+
+        if self.mode == "naive":
+            return jax.lax.conv_general_dilated(
+                upsample_nearest_2x(x).astype(self.dtype),
+                kernel.astype(self.dtype),
+                (1, 1),
+                ((1, 1), (1, 1)),
+                dimension_numbers=dn,
+            )
+
+        if self.mode == "transpose":
+            m = jnp.asarray(_PHASE_M4, kernel.dtype)
+            kt = jnp.einsum("rp,sq,pqio->rsio", m, m, kernel)
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kt.astype(self.dtype),
+                (1, 1),
+                ((2, 2), (2, 2)),
+                lhs_dilation=(2, 2),
+                dimension_numbers=dn,
+            )
+
+        rs = tuple(jnp.asarray(r, kernel.dtype) for r in _PHASE_R)
+        phase_k = [
+            jnp.einsum("up,vq,pqio->uvio", rs[a], rs[bb], kernel)
+            for a in (0, 1)
+            for bb in (0, 1)
+        ]
+        if self.mode == "fused":
+            k4 = jnp.stack(phase_k, axis=-2).reshape(2, 2, cin, 4 * cout)
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            y = jax.lax.conv_general_dilated(
+                xp.astype(self.dtype),
+                k4.astype(self.dtype),
+                (1, 1),
+                "VALID",
+                dimension_numbers=dn,
+            )  # [b, h+1, w+1, 4*cout]; phase (a,b) lives at [:, a:a+h, b:b+w]
+            y = y.reshape(b, h + 1, w + 1, 4, cout)
+            phases = [
+                y[:, a : a + h, bb : bb + w, 2 * a + bb]
+                for a in (0, 1)
+                for bb in (0, 1)
+            ]
+        elif self.mode == "fused4":
+            xc = x.astype(self.dtype)
+            phases = [
+                jax.lax.conv_general_dilated(
+                    xc,
+                    phase_k[2 * a + bb].astype(self.dtype),
+                    (1, 1),
+                    ((1 - a, a), (1 - bb, bb)),
+                    dimension_numbers=dn,
+                )
+                for a in (0, 1)
+                for bb in (0, 1)
+            ]
+        else:
+            raise ValueError(f"unknown UpConv3x3 mode {self.mode!r}")
+        t = jnp.stack(
+            [
+                jnp.stack([phases[2 * a + bb] for bb in (0, 1)], axis=3)
+                for a in (0, 1)
+            ],
+            axis=2,
+        )  # t[n, i, a, j, b, c] = phase (a,b) at source (i, j)
+        return t.reshape(b, 2 * h, 2 * w, cout)
 
 
 class Conv3x3(nn.Module):
@@ -85,16 +205,18 @@ class BatchNorm(nn.Module):
 
 
 class UpBlockGLU(nn.Module):
-    """Nearest ×2 upsample → 3×3 conv(2·out) → BN → GLU  (G upsampling unit)."""
+    """Nearest ×2 upsample → 3×3 conv(2·out) → BN → GLU  (G upsampling unit).
+    ``mode`` selects the upsample-conv formulation (see UpConv3x3); all
+    settings share the same parameter tree."""
 
     features: int
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
+    mode: str = "naive"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = upsample_nearest_2x(x)
-        x = Conv3x3(self.features * 2, self.dtype)(x)
+        x = UpConv3x3(self.features * 2, self.dtype, self.mode)(x)
         x = BatchNorm(self.dtype, self.axis_name)(x, train)
         return glu(x)
 

@@ -50,6 +50,7 @@ def build_models(
         dtype=dtype,
         axis_name=axis_name,
         remat=bool(cfg.GAN.REMAT),
+        up_mode=str(getattr(cfg.GAN, "UPSAMPLE_MODE", "naive")),
     )
     ds = tuple(
         build_discriminators(

@@ -214,7 +214,7 @@ def test_upblock_glu_matches_torch():
 
     p = jax.tree.map(np.asarray, v["params"])
     bnp = jax.tree.map(np.asarray, v["batch_stats"])
-    w = p["Conv3x3_0"]["Conv_0"]["kernel"]  # HWIO, out=8
+    w = p["UpConv3x3_0"]["kernel"]  # HWIO, out=8
     bn_tree = bnp["BatchNorm_0"]["BatchNorm_0"]
     bn_params = p["BatchNorm_0"]["BatchNorm_0"]
 
@@ -333,3 +333,54 @@ def test_d_heads_match_torch():
 
     np.testing.assert_allclose(np.asarray(uncond), t_uncond.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(cond), t_cond.numpy(), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["fused", "fused4", "transpose"])
+def test_upconv3x3_modes_match_naive(mode):
+    """Every UpConv3x3 formulation (GAN.UPSAMPLE_MODE) is the same math as
+    nearest-2x upsample + 3x3 SAME conv: outputs AND gradients agree on the
+    shared [3,3,Cin,Cout] kernel, including odd sizes/boundaries."""
+    from s2i_tpu.models.layers import UpConv3x3
+
+    rng = np.random.default_rng(7)
+    for h, w, cin, cout in [(4, 4, 16, 8), (8, 6, 5, 12)]:
+        x = jnp.asarray(rng.standard_normal((3, h, w, cin)).astype(np.float32))
+        fused = UpConv3x3(cout, mode=mode)
+        naive = UpConv3x3(cout, mode="naive")
+        v = fused.init(jax.random.key(0), x)
+        y_f = fused.apply(v, x)
+        y_n = naive.apply(v, x)
+        assert y_f.shape == (3, 2 * h, 2 * w, cout)
+        np.testing.assert_allclose(
+            np.asarray(y_f), np.asarray(y_n), rtol=2e-5, atol=2e-5
+        )
+
+        def make_loss(mod):
+            def f(params, x):
+                return jnp.sum(mod.apply({"params": params}, x) ** 2)
+
+            return f
+
+        gf = jax.grad(make_loss(fused), argnums=(0, 1))(v["params"], x)
+        gn = jax.grad(make_loss(naive), argnums=(0, 1))(v["params"], x)
+        for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gn)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+            )
+
+
+def test_gnet_fused_upsample_matches_naive():
+    """Full generator forward is invariant to GAN.UPSAMPLE_MODE (same param
+    tree, checkpoint-switchable)."""
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    g_f = GNet(gf_dim=8, branch_num=3, num_res=1, up_mode="fused")
+    g_n = GNet(gf_dim=8, branch_num=3, num_res=1, up_mode="naive")
+    v = g_f.init(jax.random.key(1), z, c, train=False)
+    outs_f = g_f.apply(v, z, c, train=False)
+    outs_n = g_n.apply(v, z, c, train=False)
+    for a, b in zip(outs_f, outs_n):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
