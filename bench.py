@@ -112,7 +112,13 @@ def bench_loop() -> None:
     cfg.TRAIN.SNAPSHOT_INTERVAL = 0  # no mid-run checkpoints in the window
     batch_size = 24
     steps_per_epoch = 8
-    ds = SyntheticGanDataset(num_classes=8, examples_per_class=3)
+    ds = SyntheticGanDataset(
+        num_classes=8,
+        examples_per_class=3,
+        # DATA.IMAGE_DTYPE=uint8 default: raw bytes ship host→device (4x
+        # less transfer), the jitted step normalizes on device.
+        image_dtype=str(cfg.DATA.IMAGE_DTYPE),
+    )
 
     def factory(_epoch):
         for i in range(steps_per_epoch):

@@ -136,6 +136,7 @@ def gan_batch_factory(cfg):
             num_threads=int(cfg.WORKERS),
             # "native" auto-detects the C++ loader; "pil" forces it off.
             use_native=None if pipeline == "native" else False,
+            image_dtype=str(getattr(cfg.DATA, "IMAGE_DTYPE", "float32")),
         )
 
     return factory
@@ -216,6 +217,7 @@ def joint_batch_factory(cfg):
             with_audio=True,
             sample_rate=p.sample_rate,
             max_samples=max_samples,
+            image_dtype=str(getattr(cfg.DATA, "IMAGE_DTYPE", "float32")),
         )
         return (featurize(b) for b in it)
 

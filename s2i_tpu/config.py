@@ -123,6 +123,13 @@ def default_cfg() -> AttrDict:
                 # MACs) measured fastest on v5e: 516 vs 490 imgs/sec over
                 # "naive" (docs/PERF.md has the full A/B).
                 "UPSAMPLE_MODE": "transpose",
+                # Batch real|fake through one D-trunk dispatch (and the three
+                # condition pairings through one heads dispatch) with
+                # per-segment BN stats — same math as the sequential passes
+                # (models.layers.GroupedBatchNorm), fewer/larger MXU kernels.
+                # On-chip A/B: +6.7% imgs/sec at batch 24 (default); ~-1% at
+                # batch 96 where kernels are already full — flip off there.
+                "D_TRUNK_BATCH": True,
                 "NETWORK_TYPE": "default",
                 "B_CONDITION": True,
             },
@@ -135,6 +142,11 @@ def default_cfg() -> AttrDict:
                 "PIPELINE": "native",
                 # Grain multiprocess prefetch workers (0 = in-process).
                 "GRAIN_WORKERS": 0,
+                # Image transfer dtype: "uint8" ships raw [0,255] pixels and
+                # normalizes on device inside the jitted step (4x fewer
+                # host→device bytes per batch); "float32" normalizes
+                # host-side to [-1,1] (reference layout).
+                "IMAGE_DTYPE": "uint8",
             },
             "TEXT": {
                 # Teacher (char-CNN-RNN) embedding dim == speech-encoder output.

@@ -21,10 +21,17 @@ from s2i_tpu.data.stackgan import StackGanSplit, multiscale
 class _GanSource:
     """Random-access (image, embedding, class) source over a split."""
 
-    def __init__(self, split: StackGanSplit, branch_num: int, base_size: int):
+    def __init__(
+        self,
+        split: StackGanSplit,
+        branch_num: int,
+        base_size: int,
+        image_dtype: str = "float32",
+    ):
         self.split = split
         self.branch_num = branch_num
         self.base_size = base_size
+        self.image_dtype = image_dtype
 
     def __len__(self) -> int:
         return len(self.split)
@@ -35,7 +42,7 @@ class _GanSource:
         # deterministic under Grain's record shuffling and worker sharding.
         rng = np.random.default_rng(i * 2654435761 % (2**32))
         top = self.base_size * 2 ** (self.branch_num - 1)
-        img = self.split.load_image(i, top, rng)
+        img = self.split.load_image(i, top, rng, dtype=self.image_dtype)
         scales = multiscale(img, self.branch_num, self.base_size)
         cap = int(rng.integers(0, self.split.captions_per_image))
         return {
@@ -64,9 +71,10 @@ def make_grain_gan_dataset(
     seed: int = 0,
     shuffle: bool = True,
     num_workers: int = 0,
+    image_dtype: str = "float32",
 ):
     """Returns a grain.IterDataset of trainer-ready batch dicts."""
-    src = _GanSource(split, branch_num, base_size)
+    src = _GanSource(split, branch_num, base_size, image_dtype)
     ds = grain.MapDataset.source(src)
     if shuffle:
         ds = ds.shuffle(seed=seed)
@@ -96,6 +104,7 @@ def grain_batch_factory(cfg):
                 int(cfg.TREE.BASE_SIZE),
                 seed=int(cfg.SEED) + epoch,
                 num_workers=int(cfg.DATA.GRAIN_WORKERS),
+                image_dtype=str(getattr(cfg.DATA, "IMAGE_DTYPE", "float32")),
             )
         )
 

@@ -116,8 +116,11 @@ class StackGanSplit:
         imsize: int,
         rng: np.random.Generator | None = None,
         flip_and_crop: bool = True,
+        dtype: str = "float32",
     ) -> np.ndarray:
-        """[-1,1] float32 [imsize, imsize, 3] with the StackGAN transform."""
+        """[imsize, imsize, 3] with the StackGAN transform. ``float32`` →
+        [-1,1]; ``uint8`` → raw [0,255] for device-side normalization
+        (DATA.IMAGE_DTYPE: 4x fewer host→device bytes)."""
         from PIL import Image
 
         img = Image.open(self.image_path(i)).convert("RGB")
@@ -134,7 +137,10 @@ class StackGanSplit:
                 img = img.crop((x1, y1, x2, y2))
         load_size = int(imsize * 76 / 64)
         img = img.resize((load_size, load_size), Image.BILINEAR)
-        arr = np.asarray(img, dtype=np.float32) / 127.5 - 1.0
+        if dtype == "uint8":
+            arr = np.asarray(img, dtype=np.uint8)
+        else:
+            arr = np.asarray(img, dtype=np.float32) / 127.5 - 1.0
         if flip_and_crop and rng is not None:
             ox = int(rng.integers(0, load_size - imsize + 1))
             oy = int(rng.integers(0, load_size - imsize + 1))
@@ -152,19 +158,24 @@ class StackGanSplit:
 
 
 def multiscale(img: np.ndarray, branch_num: int, base_size: int = 64) -> list[np.ndarray]:
-    """Largest-scale [-1,1] image → list of [S,S,3] for S = base·2^i by
-    area-pooling (top scale must be base·2^(branch_num-1))."""
+    """Largest-scale image → list of [S,S,3] for S = base·2^i by area-pooling
+    (top scale must be base·2^(branch_num-1)). uint8 input stays uint8
+    (rounded pool average); float stays float32."""
     top = base_size * 2 ** (branch_num - 1)
     assert img.shape[0] == top, (img.shape, top)
+    is_u8 = img.dtype == np.uint8
     out = []
     for i in range(branch_num):
         f = 2 ** (branch_num - 1 - i)
         if f == 1:
-            out.append(img.astype(np.float32))
+            out.append(img if is_u8 else img.astype(np.float32))
         else:
             h = img.shape[0] // f
+            pooled = img.reshape(h, f, h, f, 3).mean(axis=(1, 3))
             out.append(
-                img.reshape(h, f, h, f, 3).mean(axis=(1, 3)).astype(np.float32)
+                (pooled + 0.5).clip(0, 255).astype(np.uint8)
+                if is_u8
+                else pooled.astype(np.float32)
             )
     return out
 
@@ -240,6 +251,7 @@ class GanEpochIterator:
         with_audio: bool = False,
         sample_rate: int = 16000,
         max_samples: int = 164240,
+        image_dtype: str = "float32",
     ):
         self.split = split
         self.batch_size = batch_size
@@ -249,6 +261,9 @@ class GanEpochIterator:
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
         self.num_threads = num_threads
+        # "uint8" ships raw [0,255] pixels to the device and normalizes
+        # there (DATA.IMAGE_DTYPE): 4x fewer host→device bytes per batch.
+        self.image_dtype = image_dtype
         # Joint-finetune mode (SURVEY.md §3.5): also yield the raw wav of the
         # SAME sampled caption plus its teacher embedding.
         self.with_audio = with_audio
@@ -282,19 +297,29 @@ class GanEpochIterator:
             batch_seed,
             augment=True,
             num_threads=self.num_threads,
+            dtype=self.image_dtype,
         )
         if failed:
             # backfill zeroed slots via PIL (corrupt/odd files)
             for j, i in enumerate(idx):
                 if not np.any(outs[-1][j]):
-                    im = self.split.load_image(int(i), top, self.rng)
+                    im = self.split.load_image(
+                        int(i), top, self.rng, dtype=self.image_dtype
+                    )
                     for b, s in enumerate(multiscale(im, self.branch_num, self.base_size)):
                         outs[b][j] = s
         return outs
 
     def _load_scales_pil(self, idx: np.ndarray):
         top = self.base_size * 2 ** (self.branch_num - 1)
-        imgs = np.stack([self.split.load_image(int(i), top, self.rng) for i in idx])
+        imgs = np.stack(
+            [
+                self.split.load_image(
+                    int(i), top, self.rng, dtype=self.image_dtype
+                )
+                for i in idx
+            ]
+        )
         return [
             np.stack(x)
             for x in zip(

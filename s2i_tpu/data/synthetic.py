@@ -32,7 +32,11 @@ class SyntheticGanDataset:
         base_size: int = 64,
         emb_dim: int = 1024,
         seed: int = 0,
+        image_dtype: str = "float32",
     ):
+        # "uint8" mirrors DATA.IMAGE_DTYPE: raw [0,255] batches, normalized
+        # on device — so loop benchmarks exercise the thin transfer path.
+        self.image_dtype = image_dtype
         self.branch_num = branch_num
         self.sizes = [base_size * 2**i for i in range(branch_num)]
         self.emb_dim = emb_dim
@@ -81,6 +85,11 @@ class SyntheticGanDataset:
                     )
                 )
             factor //= 2
+        if self.image_dtype == "uint8":
+            images = [
+                ((im + 1.0) * 127.5 + 0.5).clip(0, 255).astype(np.uint8)
+                for im in images
+            ]
         return {
             "images": tuple(images),
             "embedding": self.embeddings[idx],

@@ -36,19 +36,19 @@ class _Trunk(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, groups: int = 1):
         ndf = self.df_dim
-        x = DownBlock(ndf, False, self.dtype, self.axis_name)(x, train)
-        x = DownBlock(ndf * 2, True, self.dtype, self.axis_name)(x, train)
-        x = DownBlock(ndf * 4, True, self.dtype, self.axis_name)(x, train)
-        x = DownBlock(ndf * 8, True, self.dtype, self.axis_name)(x, train)
+        x = DownBlock(ndf, False, self.dtype, self.axis_name)(x, train, groups)
+        x = DownBlock(ndf * 2, True, self.dtype, self.axis_name)(x, train, groups)
+        x = DownBlock(ndf * 4, True, self.dtype, self.axis_name)(x, train, groups)
+        x = DownBlock(ndf * 8, True, self.dtype, self.axis_name)(x, train, groups)
         ch = ndf * 8
         for _ in range(self.extra_down):
             ch *= 2
-            x = DownBlock(ch, True, self.dtype, self.axis_name)(x, train)
+            x = DownBlock(ch, True, self.dtype, self.axis_name)(x, train, groups)
         while ch > ndf * 8:
             ch //= 2
-            x = Block3x3LeakyReLU(ch, self.dtype, self.axis_name)(x, train)
+            x = Block3x3LeakyReLU(ch, self.dtype, self.axis_name)(x, train, groups)
         return x  # [B, 4, 4, 8·ndf]
 
 
@@ -61,7 +61,7 @@ class _Heads(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, code, c=None, train: bool = True):
+    def __call__(self, code, c=None, train: bool = True, groups: int = 1):
         ndf = self.df_dim
         uncond = nn.Conv(
             1, (4, 4), strides=(4, 4), padding="VALID", dtype=self.dtype,
@@ -76,7 +76,7 @@ class _Heads(nn.Module):
         ).astype(code.dtype)
         x = jnp.concatenate([code, c_tiled], axis=-1)
         x = Block3x3LeakyReLU(ndf * 8, self.dtype, self.axis_name, name="joint")(
-            x, train
+            x, train, groups
         )
         cond = nn.Conv(
             1, (4, 4), strides=(4, 4), padding="VALID", dtype=self.dtype,
@@ -94,6 +94,11 @@ class DNetBase(nn.Module):
     b_condition: bool = True
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    # Batch real|fake through ONE trunk dispatch (and the three condition
+    # pairings through ONE heads dispatch) with per-segment BN statistics —
+    # identical math to the sequential passes (GroupedBatchNorm), fewer and
+    # better-utilized MXU kernels. Equivalence test in tests/test_models.py.
+    trunk_batch: bool = False
 
     EXTRA_DOWN: int = 0
 
@@ -115,6 +120,22 @@ class DNetBase(nn.Module):
         cond_fake, uncond_fake); uncond_wrong aliases uncond_real because the
         wrong *pair* reuses the real image (reference pairs real images with
         shifted embeddings)."""
+        if self.trunk_batch and self.b_condition and c is not None:
+            b = real.shape[0]
+            code2 = self.trunk(
+                jnp.concatenate([real, fake], axis=0), train, groups=2
+            )
+            code3 = jnp.concatenate([code2[:b], code2], axis=0)
+            c3 = jnp.concatenate([c, c_wrong, c], axis=0)
+            cond3, uncond3 = self.heads(code3, c3, train, groups=3)
+            return (
+                cond3[:b],          # cond_real
+                uncond3[:b],        # uncond_real
+                cond3[b : 2 * b],   # cond_wrong
+                uncond3[:b],        # uncond_wrong aliases uncond_real
+                cond3[2 * b :],     # cond_fake
+                uncond3[2 * b :],   # uncond_fake
+            )
         code_real = self.trunk(real, train)
         code_fake = self.trunk(fake, train)
         cond_real, uncond_real = self.heads(code_real, c, train)
@@ -145,9 +166,12 @@ def build_discriminators(
     b_condition: bool = True,
     dtype: Any = jnp.float32,
     axis_name: str | None = None,
+    trunk_batch: bool = False,
 ) -> list[nn.Module]:
     """One D per scale, smallest first (mirrors the reference's D list)."""
     return [
-        _D_CLASSES[64 * 2**i](df_dim, ef_dim, b_condition, dtype, axis_name)
+        _D_CLASSES[64 * 2**i](
+            df_dim, ef_dim, b_condition, dtype, axis_name, trunk_batch
+        )
         for i in range(branch_num)
     ]

@@ -183,25 +183,87 @@ class Conv3x3(nn.Module):
         )(x)
 
 
+class GroupedBatchNorm(nn.Module):
+    """BatchNorm with flax's ``nn.BatchNorm`` semantics replicated exactly
+    (fp32 fast-variance stats, clipped var, stacked-pmean ``axis_name`` sync,
+    momentum running averages; equality test in tests/test_models.py) plus a
+    ``groups`` call argument: the leading batch axis splits into ``groups``
+    equal segments that each get their OWN batch statistics — exactly as if
+    the segments were normalized by separate sequential calls. This lets the
+    D trunk run real|fake (and the heads the three condition pairings)
+    through ONE conv dispatch at G·B batch without changing the math;
+    running averages fold sequentially in segment order, matching the
+    unbatched call order. Variable names/shapes match ``nn.BatchNorm`` so
+    checkpoints are interchangeable."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = None
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool, groups: int = 1):
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (c,)
+        )
+        scale = self.param("scale", bn_scale_init, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+            mul = jax.lax.rsqrt(var + self.epsilon) * scale
+            y = (x - mean) * mul + bias
+            return jnp.asarray(y, self.dtype or y.dtype)
+
+        if x.shape[0] % groups:
+            raise ValueError(
+                f"batch {x.shape[0]} not divisible by groups={groups}"
+            )
+        xg = x.reshape(groups, -1, *x.shape[1:])
+        xf = xg.astype(jnp.promote_types(x.dtype, jnp.float32))
+        axes = tuple(range(1, xf.ndim - 1))  # per-group batch+spatial
+        mu = xf.mean(axes)  # [G, C]
+        mu2 = (xf * xf).mean(axes)
+        if self.axis_name is not None and not self.is_initializing():
+            mu, mu2 = jax.lax.pmean(jnp.stack([mu, mu2]), self.axis_name)
+        var = jnp.maximum(0.0, mu2 - mu * mu)
+
+        if not self.is_initializing():
+            m, v = ra_mean.value, ra_var.value
+            for g in range(groups):
+                m = self.momentum * m + (1.0 - self.momentum) * mu[g]
+                v = self.momentum * v + (1.0 - self.momentum) * var[g]
+            ra_mean.value, ra_var.value = m, v
+
+        shp = (groups,) + (1,) * (xg.ndim - 2) + (c,)
+        mul = jax.lax.rsqrt(var + self.epsilon).reshape(shp) * scale
+        y = (xg - mu.reshape(shp)) * mul + bias
+        return jnp.asarray(y.reshape(x.shape), self.dtype or y.dtype)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm wrapper: cross-device stat sync via ``axis_name`` so the
     data-parallel mesh sees global batch statistics (the reference's
     DataParallel computed per-GPU stats; syncing is strictly better and the
-    single-device math is identical)."""
+    single-device math is identical). ``groups`` (see GroupedBatchNorm) keeps
+    per-segment statistics when disjoint sub-batches share one dispatch."""
 
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        return nn.BatchNorm(
-            use_running_average=not train,
+    def __call__(self, x, train: bool, groups: int = 1):
+        return GroupedBatchNorm(
             momentum=0.9,
             epsilon=1e-5,
             dtype=self.dtype,
             axis_name=self.axis_name if train else None,
-            scale_init=bn_scale_init,
-        )(x)
+            name="BatchNorm_0",
+        )(x, use_running_average=not train, groups=groups)
 
 
 class UpBlockGLU(nn.Module):
@@ -261,7 +323,7 @@ class DownBlock(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, groups: int = 1):
         x = nn.Conv(
             self.features,
             (4, 4),
@@ -272,7 +334,7 @@ class DownBlock(nn.Module):
             kernel_init=conv_init,
         )(x)
         if self.use_bn:
-            x = BatchNorm(self.dtype, self.axis_name)(x, train)
+            x = BatchNorm(self.dtype, self.axis_name)(x, train, groups)
         return nn.leaky_relu(x, 0.2)
 
 
@@ -284,7 +346,7 @@ class Block3x3LeakyReLU(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, groups: int = 1):
         x = Conv3x3(self.features, self.dtype)(x)
-        x = BatchNorm(self.dtype, self.axis_name)(x, train)
+        x = BatchNorm(self.dtype, self.axis_name)(x, train, groups)
         return nn.leaky_relu(x, 0.2)

@@ -64,6 +64,8 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_void_p),
                 ctypes.c_int,
             ]
+            lib.il_load_batch_u8.restype = ctypes.c_int
+            lib.il_load_batch_u8.argtypes = lib.il_load_batch.argtypes
             lib.il_probe.restype = ctypes.c_int
             lib.il_probe.argtypes = [
                 ctypes.c_char_p,
@@ -88,18 +90,24 @@ def load_batch(
     seed: int,
     augment: bool,
     num_threads: int = 8,
+    dtype: str = "float32",
 ) -> tuple[list[np.ndarray], int]:
     """Decode+transform a batch natively.
 
-    Returns ([branch_num arrays [N, S, S, 3] float32 in [-1,1]], n_failed).
+    Returns ([branch_num arrays [N, S, S, 3]], n_failed). ``dtype="float32"``
+    yields [-1,1] values; ``dtype="uint8"`` yields raw [0,255] for device-side
+    normalization (4x fewer host->device bytes — see DATA.IMAGE_DTYPE).
     Failed slots are zeroed — the caller backfills them via PIL.
     """
     lib = get_lib()
     assert lib is not None, "native loader unavailable"
+    if dtype not in ("float32", "uint8"):
+        raise ValueError(f"unsupported loader dtype {dtype!r}")
     n = len(paths)
     base = imsize >> (branch_num - 1)
+    np_dtype = np.float32 if dtype == "float32" else np.uint8
     outs = [
-        np.empty((n, base << i, base << i, 3), np.float32)
+        np.empty((n, base << i, base << i, 3), np_dtype)
         for i in range(branch_num)
     ]
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
@@ -111,7 +119,8 @@ def load_batch(
     c_outs = (ctypes.c_void_p * branch_num)(
         *[o.ctypes.data_as(ctypes.c_void_p) for o in outs]
     )
-    failed = lib.il_load_batch(
+    entry = lib.il_load_batch if dtype == "float32" else lib.il_load_batch_u8
+    failed = entry(
         c_paths,
         n,
         c_bb,

@@ -119,29 +119,33 @@ void resize_bilinear(const uint8_t* src, int sw, int sh, int x0, int y0,
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Load one batch. Returns number of failed images (their slots are zeroed;
-// caller retries those via the PIL fallback).
-//   paths:      n C strings
-//   bboxes:     n*4 floats (x, y, w, h) or nullptr
-//   imsize:     top-scale size (e.g. 256)
-//   branch_num: number of pyramid scales (1..3), base = imsize >> (branch-1)
-//   seed:       batch seed for crop/flip rng
-//   augment:    1 = random crop + flip, 0 = center crop
-//   outs:       branch_num pointers, outs[i] = float[n, s_i, s_i, 3] NHWC,
-//               s_i = base << i, values in [-1, 1]
-//   num_threads
-int il_load_batch(const char** paths, int n, const float* bboxes, int imsize,
-                  int branch_num, uint64_t seed, int augment, float** outs,
-                  int num_threads) {
+// OutT = float: values in [-1, 1] (x/127.5 - 1).
+// OutT = uint8_t: raw [0, 255] — the device normalizes after transfer
+// (4x fewer host->device bytes; see DATA.IMAGE_DTYPE).
+template <typename OutT>
+int load_batch_impl(const char** paths, int n, const float* bboxes, int imsize,
+                    int branch_num, uint64_t seed, int augment, OutT** outs,
+                    int num_threads) {
   const int load_size = imsize * 76 / 64;
   std::atomic<int> next{0};
   std::atomic<int> failures{0};
 
   auto worker = [&]() {
     std::vector<uint8_t> rgb, resized(static_cast<size_t>(load_size) * load_size * 3);
+    // top scale kept as float pixel values in [0, 255]: the pyramid
+    // area-pool averages in that space for both output types, so the two
+    // paths differ only by the final quantization/normalization.
     std::vector<float> top(static_cast<size_t>(imsize) * imsize * 3);
+    auto store = [](float v255, OutT* o) {
+      if (sizeof(OutT) == 1) {
+        float r = v255 + 0.5f;
+        *o = static_cast<OutT>(r < 0 ? 0 : (r > 255 ? 255 : r));
+      } else {
+        *o = static_cast<OutT>(v255 / 127.5f - 1.0f);
+      }
+    };
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
@@ -152,7 +156,7 @@ int il_load_batch(const char** paths, int n, const float* bboxes, int imsize,
         for (int b = 0; b < branch_num; ++b) {
           int s = (imsize >> (branch_num - 1)) << b;
           memset(outs[b] + static_cast<size_t>(i) * s * s * 3, 0,
-                 static_cast<size_t>(s) * s * 3 * sizeof(float));
+                 static_cast<size_t>(s) * s * 3 * sizeof(OutT));
         }
         continue;
       }
@@ -188,9 +192,9 @@ int il_load_batch(const char** paths, int n, const float* bboxes, int imsize,
           const uint8_t* px =
               resized.data() + (static_cast<size_t>(oy + y) * load_size + sx) * 3;
           float* out = top.data() + (static_cast<size_t>(y) * imsize + x) * 3;
-          out[0] = px[0] / 127.5f - 1.0f;
-          out[1] = px[1] / 127.5f - 1.0f;
-          out[2] = px[2] / 127.5f - 1.0f;
+          out[0] = px[0];
+          out[1] = px[1];
+          out[2] = px[2];
         }
       }
       // write pyramid: area-pool by 2^(branch-1-b)
@@ -198,29 +202,24 @@ int il_load_batch(const char** paths, int n, const float* bboxes, int imsize,
         int shift = branch_num - 1 - b;
         int sc = imsize >> shift;
         int f = 1 << shift;
-        float* dst = outs[b] + static_cast<size_t>(i) * sc * sc * 3;
-        if (f == 1) {
-          memcpy(dst, top.data(),
-                 static_cast<size_t>(imsize) * imsize * 3 * sizeof(float));
-        } else {
-          float inv = 1.0f / (f * f);
-          for (int y = 0; y < sc; ++y) {
-            for (int x = 0; x < sc; ++x) {
-              float acc[3] = {0, 0, 0};
-              for (int dy = 0; dy < f; ++dy)
-                for (int dx = 0; dx < f; ++dx) {
-                  const float* px =
-                      top.data() +
-                      (static_cast<size_t>(y * f + dy) * imsize + x * f + dx) * 3;
-                  acc[0] += px[0];
-                  acc[1] += px[1];
-                  acc[2] += px[2];
-                }
-              float* o = dst + (static_cast<size_t>(y) * sc + x) * 3;
-              o[0] = acc[0] * inv;
-              o[1] = acc[1] * inv;
-              o[2] = acc[2] * inv;
-            }
+        OutT* dst = outs[b] + static_cast<size_t>(i) * sc * sc * 3;
+        float inv = 1.0f / (f * f);
+        for (int y = 0; y < sc; ++y) {
+          for (int x = 0; x < sc; ++x) {
+            float acc[3] = {0, 0, 0};
+            for (int dy = 0; dy < f; ++dy)
+              for (int dx = 0; dx < f; ++dx) {
+                const float* px =
+                    top.data() +
+                    (static_cast<size_t>(y * f + dy) * imsize + x * f + dx) * 3;
+                acc[0] += px[0];
+                acc[1] += px[1];
+                acc[2] += px[2];
+              }
+            OutT* o = dst + (static_cast<size_t>(y) * sc + x) * 3;
+            store(acc[0] * inv, o + 0);
+            store(acc[1] * inv, o + 1);
+            store(acc[2] * inv, o + 2);
           }
         }
       }
@@ -233,6 +232,38 @@ int il_load_batch(const char** paths, int n, const float* bboxes, int imsize,
   for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
   for (auto& th : threads) th.join();
   return failures.load();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Load one batch. Returns number of failed images (their slots are zeroed;
+// caller retries those via the PIL fallback).
+//   paths:      n C strings
+//   bboxes:     n*4 floats (x, y, w, h) or nullptr
+//   imsize:     top-scale size (e.g. 256)
+//   branch_num: number of pyramid scales (1..3), base = imsize >> (branch-1)
+//   seed:       batch seed for crop/flip rng
+//   augment:    1 = random crop + flip, 0 = center crop
+//   outs:       branch_num pointers, outs[i] = float[n, s_i, s_i, 3] NHWC,
+//               s_i = base << i, values in [-1, 1]
+//   num_threads
+int il_load_batch(const char** paths, int n, const float* bboxes, int imsize,
+                  int branch_num, uint64_t seed, int augment, float** outs,
+                  int num_threads) {
+  return load_batch_impl<float>(paths, n, bboxes, imsize, branch_num, seed,
+                                augment, outs, num_threads);
+}
+
+// Same pipeline, uint8 [0, 255] outputs (device-side normalization):
+// identical decode/crop/flip/area-pool math, final store rounds instead of
+// normalizing — 4x fewer host->device bytes per batch.
+int il_load_batch_u8(const char** paths, int n, const float* bboxes,
+                     int imsize, int branch_num, uint64_t seed, int augment,
+                     uint8_t** outs, int num_threads) {
+  return load_batch_impl<uint8_t>(paths, n, bboxes, imsize, branch_num, seed,
+                                  augment, outs, num_threads);
 }
 
 // Decode-only entry (shape probe / tests): returns 0 on success.

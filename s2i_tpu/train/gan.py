@@ -60,6 +60,7 @@ def build_models(
             bool(cfg.GAN.B_CONDITION),
             dtype,
             axis_name,
+            bool(getattr(cfg.GAN, "D_TRUNK_BATCH", False)),
         )
     )
     encoder = None
@@ -106,6 +107,7 @@ def _adam(cfg, lr: float) -> optax.GradientTransformation:
 
 def init_state(cfg, models: GanModels, rng: jax.Array, batch: dict) -> GanTrainState:
     """Initialize params/opt-states from one (host) example batch."""
+    batch = dict(batch, images=normalize_images(batch["images"]))
     r_ca, r_ca2, r_g, r_z, r_d, r_e = jax.random.split(rng, 6)
     emb_dim = int(cfg.TEXT.DIMENSION)
     b = batch["images"][0].shape[0]
@@ -153,6 +155,22 @@ def init_state(cfg, models: GanModels, rng: jax.Array, batch: dict) -> GanTrainS
         d_opt=tuple(d_opts),
         ema_g=ema,
     )
+
+
+def normalize_images(images) -> tuple:
+    """Device-side [-1,1] normalization of raw uint8 pixel batches.
+
+    ``DATA.IMAGE_DTYPE="uint8"`` ships [0,255] bytes host→device (4x less
+    transfer than float32) and normalizes here, inside the jitted step where
+    XLA fuses the convert into the first conv's input read. Float input
+    passes through untouched (already [-1,1] host-side)."""
+
+    def one(im):
+        if jnp.issubdtype(im.dtype, jnp.integer):
+            return im.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+        return im
+
+    return tuple(one(im) for im in images)
 
 
 def wrong_pair_sources(class_id: jax.Array) -> jax.Array:
@@ -256,6 +274,7 @@ def make_train_step(
         )
 
     def train_step(state: GanTrainState, batch: dict, base_rng: jax.Array):
+        batch = dict(batch, images=normalize_images(batch["images"]))
         rng = jax.random.fold_in(base_rng, state.step)
         rng_z, rng_ca = jax.random.split(rng)
         b = batch["images"][0].shape[0]

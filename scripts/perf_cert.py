@@ -193,7 +193,10 @@ def cert_gan_parts(trials: int = 3) -> list[dict]:
     )
     gp, gs = state.g_params["g"], state.g_stats["g"]
 
-    def g_fwd_scalar(z):
+    # All large arrays (params, images) must be ARGUMENTS of the jitted
+    # runners, not closure captures — captured arrays embed as HLO constants
+    # and blow past the relay's remote-compile request-size limit (HTTP 413).
+    def g_fwd_scalar(gp, z):
         fakes, _ = models.g.apply(
             {"params": gp, "batch_stats": gs}, z, c0, mutable=["batch_stats"]
         )
@@ -201,25 +204,20 @@ def cert_gan_parts(trials: int = 3) -> list[dict]:
 
     def make_gfwd():
         @functools.partial(jax.jit, static_argnames="k")
-        def run_k(z, k):
+        def run_k(gp, z, k):
             def body(z, _):
-                s, _f = g_fwd_scalar(z)
+                s, _f = g_fwd_scalar(gp, z)
                 return z + 1e-12 * s, None
 
             z, _ = jax.lax.scan(body, z, None, length=k)
             return jnp.sum(z)
 
-        return run_k, (z0,)
+        return run_k, (gp, z0)
 
     def make_gfwdbwd():
         def loss(params, z):
-            fakes, _ = models.g.apply(
-                {"params": params, "batch_stats": gs},
-                z,
-                c0,
-                mutable=["batch_stats"],
-            )
-            return sum(jnp.sum(f.astype(jnp.float32)) for f in fakes)
+            s, _f = g_fwd_scalar(params, z)
+            return s
 
         @functools.partial(jax.jit, static_argnames="k")
         def run_k(params, z, k):
@@ -232,15 +230,16 @@ def cert_gan_parts(trials: int = 3) -> list[dict]:
 
         return run_k, (gp, z0)
 
-    _, fakes0 = jax.jit(g_fwd_scalar)(z0)
-    fakes0 = [jax.lax.stop_gradient(f) for f in fakes0]
+    _, fakes0 = jax.jit(g_fwd_scalar)(gp, z0)
+    fakes0 = tuple(jax.lax.stop_gradient(f) for f in fakes0)
+    reals0 = tuple(batch["images"])
     cond0 = c0
     cond_w0 = jnp.roll(c0, 1, axis=0)
 
-    def d_loss_fn(d_params):
+    def d_loss_fn(d_params, reals, fakes):
         total = jnp.asarray(0.0, jnp.float32)
         for d, dp, dst, real, fake in zip(
-            models.ds, d_params, state.d_stats, batch["images"], fakes0
+            models.ds, d_params, state.d_stats, reals, fakes
         ):
             logits, _ = d.apply(
                 {"params": dp, "batch_stats": dst},
@@ -259,9 +258,9 @@ def cert_gan_parts(trials: int = 3) -> list[dict]:
 
     def make_dphase():
         @functools.partial(jax.jit, static_argnames="k")
-        def run_k(d_params, k):
+        def run_k(d_params, reals, fakes, k):
             def body(ps, _):
-                g = jax.grad(d_loss_fn)(ps)
+                g = jax.grad(d_loss_fn)(ps, reals, fakes)
                 return jax.tree.map(lambda a, b: a + 1e-12 * b, ps, g), None
 
             ps, _ = jax.lax.scan(body, d_params, None, length=k)
@@ -269,13 +268,11 @@ def cert_gan_parts(trials: int = 3) -> list[dict]:
                 jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(ps)
             )
 
-        return run_k, (state.d_params,)
+        return run_k, (state.d_params, reals0, fakes0)
 
-    def adv_loss_on_fakes(fakes):
+    def adv_loss_on_fakes(fakes, d_params):
         adv = jnp.asarray(0.0, jnp.float32)
-        for d, dp, dst, fake in zip(
-            models.ds, state.d_params, state.d_stats, fakes
-        ):
+        for d, dp, dst, fake in zip(models.ds, d_params, state.d_stats, fakes):
             (cond_f, uncond_f), _ = d.apply(
                 {"params": dp, "batch_stats": dst},
                 fake,
@@ -289,20 +286,20 @@ def cert_gan_parts(trials: int = 3) -> list[dict]:
 
     def make_gphase_dpull():
         @functools.partial(jax.jit, static_argnames="k")
-        def run_k(fakes, k):
+        def run_k(fakes, d_params, k):
             def body(fs, _):
-                g = jax.grad(adv_loss_on_fakes)(fs)
+                g = jax.grad(adv_loss_on_fakes)(fs, d_params)
                 return (
                     jax.tree.map(lambda a, b: a + 1e-12 * b, fs, g),
                     None,
                 )
 
-            fs, _ = jax.lax.scan(body, tuple(fakes), None, length=k)
+            fs, _ = jax.lax.scan(body, fakes, None, length=k)
             return sum(
                 jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(fs)
             )
 
-        return run_k, (tuple(fakes0),)
+        return run_k, (fakes0, state.d_params)
 
     parts = [
         ("g_forward", make_gfwd),
@@ -392,12 +389,36 @@ def cert_mel() -> dict:
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
-        "--what", choices=["gan", "mel", "both", "ab"], default="both"
+        "--what",
+        choices=["gan", "mel", "both", "ab", "parts", "batch", "dtrunk"],
+        default="both",
     )
     args = ap.parse_args()
     out = []
     if args.what == "ab":
         out.extend(cert_gan_ab())
+    if args.what == "dtrunk":
+        out.extend(
+            cert_gan_ab(
+                variants=[
+                    ("gan_b24_seq_d", 24, {}),
+                    ("gan_b24_batched_d", 24, {"GAN.D_TRUNK_BATCH": True}),
+                    ("gan_b96_seq_d", 96, {}),
+                    ("gan_b96_batched_d", 96, {"GAN.D_TRUNK_BATCH": True}),
+                ]
+            )
+        )
+    if args.what == "parts":
+        out.extend(cert_gan_parts())
+    if args.what == "batch":
+        out.extend(
+            cert_gan_ab(
+                variants=[
+                    (f"gan_b{b}_transpose", b, {})
+                    for b in (24, 48, 96)
+                ]
+            )
+        )
     if args.what in ("gan", "both"):
         out.append(cert_gan())
     if args.what in ("mel", "both"):

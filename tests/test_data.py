@@ -233,3 +233,67 @@ def test_gan_batch_factory_pipeline_selection(fake_dataset):
 
     with pytest.raises(ValueError):
         cli.gan_batch_factory(cfg_with("bogus"))
+
+
+def test_uint8_image_pipeline_matches_float(fake_dataset):
+    """DATA.IMAGE_DTYPE=uint8 ships raw [0,255] bytes; after the device-side
+    normalize they must agree with the float32 path within quantization
+    (same crops/flips — both paths consume the same rng stream)."""
+    from s2i_tpu.train.gan import normalize_images
+
+    split = StackGanSplit(fake_dataset, "train")
+    bf = next(iter(GanEpochIterator(split, 4, 3, seed=7, use_native=False)))
+    bu = next(
+        iter(
+            GanEpochIterator(
+                split, 4, 3, seed=7, use_native=False, image_dtype="uint8"
+            )
+        )
+    )
+    assert all(im.dtype == np.uint8 for im in bu["images"])
+    normed = normalize_images(bu["images"])
+    for f32, u8n in zip(bf["images"], normed):
+        assert u8n.dtype == np.float32 or str(u8n.dtype) == "float32"
+        np.testing.assert_allclose(
+            f32, np.asarray(u8n), atol=1.01 / 127.5
+        )  # ±1 pixel-step quantization
+
+
+def test_uint8_native_loader_matches_float(fake_dataset):
+    """The C++ loader's uint8 entry equals its float32 entry up to the final
+    quantization (identical decode/crop/flip/pool math)."""
+    from s2i_tpu import native
+
+    if not native.native_available():
+        pytest.skip("native loader unavailable")
+    split = StackGanSplit(fake_dataset, "train")
+    paths = [split.image_path(i) for i in range(4)]
+    outs_f, fail_f = native.load_batch(
+        paths, None, 256, 3, seed=5, augment=True, dtype="float32"
+    )
+    outs_u, fail_u = native.load_batch(
+        paths, None, 256, 3, seed=5, augment=True, dtype="uint8"
+    )
+    assert fail_f == fail_u == 0
+    for f32, u8 in zip(outs_f, outs_u):
+        assert u8.dtype == np.uint8
+        np.testing.assert_allclose(
+            f32, u8.astype(np.float32) / 127.5 - 1.0, atol=1.01 / 127.5
+        )
+
+
+def test_synthetic_uint8_batches():
+    from s2i_tpu.data import SyntheticGanDataset
+    from s2i_tpu.train.gan import normalize_images
+
+    ds_f = SyntheticGanDataset(num_classes=2, examples_per_class=2, seed=3)
+    ds_u = SyntheticGanDataset(
+        num_classes=2, examples_per_class=2, seed=3, image_dtype="uint8"
+    )
+    bf = ds_f.batch(np.arange(4))
+    bu = ds_u.batch(np.arange(4))
+    for f32, u8 in zip(bf["images"], bu["images"]):
+        assert u8.dtype == np.uint8
+        np.testing.assert_allclose(
+            f32, np.asarray(normalize_images([u8])[0]), atol=1.01 / 127.5
+        )

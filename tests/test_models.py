@@ -384,3 +384,111 @@ def test_gnet_fused_upsample_matches_naive():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
         )
+
+
+def test_grouped_batchnorm_matches_flax_batchnorm():
+    """GroupedBatchNorm(groups=1) reproduces nn.BatchNorm exactly — outputs
+    AND updated running stats, train and eval, fp32 and bf16 — so swapping it
+    in under the BatchNorm wrapper changes nothing for existing checkpoints."""
+    from flax import linen as nn
+    from s2i_tpu.models.layers import GroupedBatchNorm, bn_scale_init
+
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jax.random.normal(jax.random.key(0), (6, 8, 8, 5)).astype(dtype)
+        ref = nn.BatchNorm(
+            momentum=0.9, epsilon=1e-5, dtype=dtype, scale_init=bn_scale_init,
+        )
+        ours = GroupedBatchNorm(momentum=0.9, epsilon=1e-5, dtype=dtype)
+        rv = ref.init(jax.random.key(1), x, use_running_average=False)
+        ov = ours.init(jax.random.key(1), x, use_running_average=False)
+        jax.tree.map(np.testing.assert_array_equal, rv, ov)
+
+        ry, rvars = ref.apply(
+            rv, x, use_running_average=False, mutable=["batch_stats"]
+        )
+        oy, ovars = ours.apply(
+            ov, x, use_running_average=False, mutable=["batch_stats"]
+        )
+        np.testing.assert_array_equal(np.asarray(ry), np.asarray(oy))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6
+            ),
+            rvars, ovars,
+        )
+        # eval path on the updated running stats
+        rv2 = {"params": rv["params"], **rvars}
+        ov2 = {"params": ov["params"], **ovars}
+        ry2 = ref.apply(rv2, x, use_running_average=True)
+        oy2 = ours.apply(ov2, x, use_running_average=True)
+        np.testing.assert_allclose(
+            np.asarray(ry2, np.float32), np.asarray(oy2, np.float32),
+            rtol=2e-6, atol=1e-6,
+        )
+
+
+def test_grouped_batchnorm_groups_equal_sequential_calls():
+    """groups=G on a stacked batch == G sequential calls on the segments:
+    same outputs and same final running stats (sequential momentum folds)."""
+    from s2i_tpu.models.layers import GroupedBatchNorm
+
+    m = GroupedBatchNorm()
+    a = jax.random.normal(jax.random.key(0), (4, 8, 8, 5))
+    b = jax.random.normal(jax.random.key(1), (4, 8, 8, 5)) * 2.0 + 1.0
+    v = m.init(jax.random.key(2), a, use_running_average=False)
+
+    ya, v1 = m.apply(v, a, use_running_average=False, mutable=["batch_stats"])
+    yb, v2 = m.apply(
+        {"params": v["params"], **v1}, b,
+        use_running_average=False, mutable=["batch_stats"],
+    )
+    yg, vg = m.apply(
+        v, jnp.concatenate([a, b], axis=0),
+        use_running_average=False, groups=2, mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(yg[:4]), np.asarray(ya), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(yg[4:]), np.asarray(yb), rtol=1e-6, atol=1e-6
+    )
+    jax.tree.map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), rtol=1e-6, atol=1e-6
+        ),
+        v2["batch_stats"], vg["batch_stats"],
+    )
+
+
+def test_d_trunk_batch_matches_sequential_train_logits():
+    """trunk_batch=True runs real|fake (and the three head pairings) in one
+    dispatch with per-segment BN stats — all six logits and the updated
+    batch_stats must match the sequential path."""
+    b, scale = 4, 64
+    real = jax.random.normal(jax.random.key(0), (b, scale, scale, 3))
+    fake = jax.random.normal(jax.random.key(1), (b, scale, scale, 3))
+    c = jax.random.normal(jax.random.key(2), (b, 16))
+    c_wrong = jnp.roll(c, 1, axis=0)
+
+    d_seq = DNet64(df_dim=8, ef_dim=16, trunk_batch=False)
+    d_bat = DNet64(df_dim=8, ef_dim=16, trunk_batch=True)
+    v = d_seq.init(jax.random.key(3), real, c)
+
+    logits_seq, vs = d_seq.apply(
+        v, real, fake, c, c_wrong, method="train_logits",
+        mutable=["batch_stats"],
+    )
+    logits_bat, vb = d_bat.apply(
+        v, real, fake, c, c_wrong, method="train_logits",
+        mutable=["batch_stats"],
+    )
+    for ls, lb in zip(logits_seq, logits_bat):
+        np.testing.assert_allclose(
+            np.asarray(ls), np.asarray(lb), rtol=2e-5, atol=2e-5
+        )
+    jax.tree.map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), rtol=2e-5, atol=2e-5
+        ),
+        vs["batch_stats"], vb["batch_stats"],
+    )

@@ -210,3 +210,73 @@ def test_class_aware_without_class_id_raises():
     step = jax.jit(gan.make_train_step(cfg, models))
     with pytest.raises(ValueError, match="class_id"):
         step(state, batch, jax.random.key(1))
+
+
+def test_build_models_threads_upsample_mode():
+    """cfg.GAN.UPSAMPLE_MODE reaches the generator (and REMAT composes):
+    the four formulations share one param tree, so a checkpoint written
+    under any mode restores under any other."""
+    import jax.numpy as jnp
+
+    from s2i_tpu import config
+    from s2i_tpu.train import gan
+
+    cfg = config.default_cfg()
+    cfg.GAN.UPSAMPLE_MODE = "fused4"
+    cfg.GAN.REMAT = True
+    models = gan.build_models(cfg)
+    assert models.g.up_mode == "fused4" and models.g.remat
+
+    cfg2 = config.default_cfg()
+    cfg2.GAN.UPSAMPLE_MODE = "transpose"
+    g2 = gan.build_models(cfg2).g
+    z = jnp.zeros((2, int(cfg.GAN.Z_DIM)))
+    c = jnp.zeros((2, int(cfg.GAN.EMBEDDING_DIM)))
+    import jax
+
+    v1 = models.g.init(jax.random.key(0), z, c)
+    v2 = g2.init(jax.random.key(0), z, c)
+    assert jax.tree.structure(v1) == jax.tree.structure(v2)
+
+
+def test_train_step_invariant_to_d_trunk_batch():
+    """One full fp32 train step with GAN.D_TRUNK_BATCH on/off from the same
+    init must produce the same params and metrics (GroupedBatchNorm makes the
+    batched D dispatches mathematically identical to the sequential ones)."""
+    outs = []
+    for flag in (False, True):
+        cfg = tiny_cfg()
+        cfg.GAN.D_TRUNK_BATCH = flag
+        models = gan.build_models(cfg)
+        _, batch = gan_batch(cfg)
+        state = gan.init_state(cfg, models, jax.random.key(0), batch)
+        step = jax.jit(gan.make_train_step(cfg, models))
+        state, metrics = step(state, batch, jax.random.key(1))
+        outs.append((state, metrics))
+    (s0, m0), (s1, m1) = outs
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-5, atol=2e-5,
+        ),
+        (s0.g_params, s0.d_params, m0),
+        (s1.g_params, s1.d_params, m1),
+    )
+
+
+def test_train_step_accepts_uint8_images():
+    """DATA.IMAGE_DTYPE=uint8 batches normalize inside the jitted step
+    (train + init): one step runs and is finite on raw [0,255] images."""
+    cfg = tiny_cfg()
+    models = gan.build_models(cfg)
+    _, batch = gan_batch(cfg)
+    batch["images"] = tuple(
+        ((im + 1.0) * 127.5 + 0.5).clip(0, 255).astype(np.uint8)
+        for im in batch["images"]
+    )
+    state = gan.init_state(cfg, models, jax.random.key(0), batch)
+    step = jax.jit(gan.make_train_step(cfg, models))
+    state2, mets = step(state, batch, jax.random.key(1))
+    assert int(state2.step) == 1
+    for k, v in mets.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
