@@ -118,6 +118,9 @@ def bench_loop() -> None:
         # DATA.IMAGE_DTYPE=uint8 default: raw bytes ship host→device (4x
         # less transfer), the jitted step normalizes on device.
         image_dtype=str(cfg.DATA.IMAGE_DTYPE),
+        # SHIP_SCALES=top: only the 256 scale crosses host->device; the
+        # step pools the pyramid on device.
+        ship_scales=str(cfg.DATA.SHIP_SCALES),
     )
 
     def factory(_epoch):

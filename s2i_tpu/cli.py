@@ -102,6 +102,8 @@ def gan_batch_factory(cfg):
             base_size=int(cfg.TREE.BASE_SIZE),
             emb_dim=int(cfg.TEXT.DIMENSION),
             seed=int(cfg.SEED),
+            image_dtype=str(getattr(cfg.DATA, "IMAGE_DTYPE", "float32")),
+            ship_scales=str(getattr(cfg.DATA, "SHIP_SCALES", "all")),
         )
         steps = max(1, ds.n // int(cfg.TRAIN.BATCH_SIZE))
 
@@ -137,6 +139,7 @@ def gan_batch_factory(cfg):
             # "native" auto-detects the C++ loader; "pil" forces it off.
             use_native=None if pipeline == "native" else False,
             image_dtype=str(getattr(cfg.DATA, "IMAGE_DTYPE", "float32")),
+            ship_scales=str(getattr(cfg.DATA, "SHIP_SCALES", "all")),
         )
 
     return factory
@@ -218,6 +221,7 @@ def joint_batch_factory(cfg):
             sample_rate=p.sample_rate,
             max_samples=max_samples,
             image_dtype=str(getattr(cfg.DATA, "IMAGE_DTYPE", "float32")),
+            ship_scales=str(getattr(cfg.DATA, "SHIP_SCALES", "all")),
         )
         return (featurize(b) for b in it)
 

@@ -147,6 +147,11 @@ def default_cfg() -> AttrDict:
                 # host→device bytes per batch); "float32" normalizes
                 # host-side to [-1,1] (reference layout).
                 "IMAGE_DTYPE": "uint8",
+                # "top" ships only the largest scale host→device; the jitted
+                # step derives the smaller scales by the identical 2× area
+                # pool (train.gan.expand_image_pyramid). "all" ships the full
+                # per-scale pyramid (reference layout).
+                "SHIP_SCALES": "top",
             },
             "TEXT": {
                 # Teacher (char-CNN-RNN) embedding dim == speech-encoder output.

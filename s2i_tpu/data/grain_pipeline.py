@@ -27,11 +27,13 @@ class _GanSource:
         branch_num: int,
         base_size: int,
         image_dtype: str = "float32",
+        ship_scales: str = "all",
     ):
         self.split = split
         self.branch_num = branch_num
         self.base_size = base_size
         self.image_dtype = image_dtype
+        self.ship_scales = ship_scales
 
     def __len__(self) -> int:
         return len(self.split)
@@ -43,7 +45,11 @@ class _GanSource:
         rng = np.random.default_rng(i * 2654435761 % (2**32))
         top = self.base_size * 2 ** (self.branch_num - 1)
         img = self.split.load_image(i, top, rng, dtype=self.image_dtype)
-        scales = multiscale(img, self.branch_num, self.base_size)
+        scales = (
+            [img]
+            if self.ship_scales == "top"
+            else multiscale(img, self.branch_num, self.base_size)
+        )
         cap = int(rng.integers(0, self.split.captions_per_image))
         return {
             "images": tuple(scales),
@@ -72,9 +78,10 @@ def make_grain_gan_dataset(
     shuffle: bool = True,
     num_workers: int = 0,
     image_dtype: str = "float32",
+    ship_scales: str = "all",
 ):
     """Returns a grain.IterDataset of trainer-ready batch dicts."""
-    src = _GanSource(split, branch_num, base_size, image_dtype)
+    src = _GanSource(split, branch_num, base_size, image_dtype, ship_scales)
     ds = grain.MapDataset.source(src)
     if shuffle:
         ds = ds.shuffle(seed=seed)
@@ -105,6 +112,7 @@ def grain_batch_factory(cfg):
                 seed=int(cfg.SEED) + epoch,
                 num_workers=int(cfg.DATA.GRAIN_WORKERS),
                 image_dtype=str(getattr(cfg.DATA, "IMAGE_DTYPE", "float32")),
+                ship_scales=str(getattr(cfg.DATA, "SHIP_SCALES", "all")),
             )
         )
 

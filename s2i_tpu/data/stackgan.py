@@ -252,6 +252,7 @@ class GanEpochIterator:
         sample_rate: int = 16000,
         max_samples: int = 164240,
         image_dtype: str = "float32",
+        ship_scales: str = "all",
     ):
         self.split = split
         self.batch_size = batch_size
@@ -264,6 +265,12 @@ class GanEpochIterator:
         # "uint8" ships raw [0,255] pixels to the device and normalizes
         # there (DATA.IMAGE_DTYPE): 4x fewer host→device bytes per batch.
         self.image_dtype = image_dtype
+        # "top" ships ONLY the largest scale (DATA.SHIP_SCALES); the train
+        # step derives the smaller scales by the same 2× area-pool on
+        # device (gan.expand_image_pyramid) — another ~25% less transfer.
+        if ship_scales not in ("all", "top"):
+            raise ValueError(f"unknown ship_scales {ship_scales!r}")
+        self.ship_scales = ship_scales
         # Joint-finetune mode (SURVEY.md §3.5): also yield the raw wav of the
         # SAME sampled caption plus its teacher embedding.
         self.with_audio = with_audio
@@ -289,11 +296,14 @@ class GanEpochIterator:
                 bb = self.split.bboxes.get(self.split.filenames[int(i)])
                 if bb is not None:
                     bboxes[j] = bb
+        # ship_scales="top": branch_num=1 at top size — the loader skips the
+        # host-side pyramid entirely; the device derives the small scales.
+        n_branches = 1 if self.ship_scales == "top" else self.branch_num
         outs, failed = native.load_batch(
             paths,
             bboxes,
             top,
-            self.branch_num,
+            n_branches,
             batch_seed,
             augment=True,
             num_threads=self.num_threads,
@@ -306,8 +316,13 @@ class GanEpochIterator:
                     im = self.split.load_image(
                         int(i), top, self.rng, dtype=self.image_dtype
                     )
-                    for b, s in enumerate(multiscale(im, self.branch_num, self.base_size)):
-                        outs[b][j] = s
+                    if n_branches == 1:
+                        outs[0][j] = im
+                    else:
+                        for b, s in enumerate(
+                            multiscale(im, self.branch_num, self.base_size)
+                        ):
+                            outs[b][j] = s
         return outs
 
     def _load_scales_pil(self, idx: np.ndarray):
@@ -320,6 +335,8 @@ class GanEpochIterator:
                 for i in idx
             ]
         )
+        if self.ship_scales == "top":
+            return [imgs]
         return [
             np.stack(x)
             for x in zip(

@@ -33,10 +33,14 @@ class SyntheticGanDataset:
         emb_dim: int = 1024,
         seed: int = 0,
         image_dtype: str = "float32",
+        ship_scales: str = "all",
     ):
         # "uint8" mirrors DATA.IMAGE_DTYPE: raw [0,255] batches, normalized
         # on device — so loop benchmarks exercise the thin transfer path.
+        # ship_scales="top" mirrors DATA.SHIP_SCALES: only the largest scale
+        # is shipped; the step derives the pyramid on device.
         self.image_dtype = image_dtype
+        self.ship_scales = ship_scales
         self.branch_num = branch_num
         self.sizes = [base_size * 2**i for i in range(branch_num)]
         self.emb_dim = emb_dim
@@ -85,6 +89,8 @@ class SyntheticGanDataset:
                     )
                 )
             factor //= 2
+        if self.ship_scales == "top":
+            images = images[-1:]
         if self.image_dtype == "uint8":
             images = [
                 ((im + 1.0) * 127.5 + 0.5).clip(0, 255).astype(np.uint8)

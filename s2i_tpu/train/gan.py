@@ -107,7 +107,12 @@ def _adam(cfg, lr: float) -> optax.GradientTransformation:
 
 def init_state(cfg, models: GanModels, rng: jax.Array, batch: dict) -> GanTrainState:
     """Initialize params/opt-states from one (host) example batch."""
-    batch = dict(batch, images=normalize_images(batch["images"]))
+    batch = dict(
+        batch,
+        images=expand_image_pyramid(
+            normalize_images(batch["images"]), int(cfg.TREE.BRANCH_NUM)
+        ),
+    )
     r_ca, r_ca2, r_g, r_z, r_d, r_e = jax.random.split(rng, 6)
     emb_dim = int(cfg.TEXT.DIMENSION)
     b = batch["images"][0].shape[0]
@@ -171,6 +176,29 @@ def normalize_images(images) -> tuple:
         return im
 
     return tuple(one(im) for im in images)
+
+
+def expand_image_pyramid(images: tuple, branch_num: int) -> tuple:
+    """Derive the lower GAN scales from the top scale by 2× area-pooling.
+
+    ``DATA.SHIP_SCALES="top"`` sends ONLY the largest scale host→device (the
+    smaller scales are exact area-pools of it — the loaders compute them
+    that way), cutting transfer another ~25% on top of uint8 and skipping
+    the host-side pooling. Applied after :func:`normalize_images`; a full
+    per-scale tuple passes through unchanged."""
+    if len(images) == branch_num:
+        return tuple(images)
+    if len(images) != 1:
+        raise ValueError(
+            f"batch has {len(images)} image scales; expected 1 or {branch_num}"
+        )
+    out = [images[0]]
+    for _ in range(branch_num - 1):
+        b, h, w, c = out[0].shape
+        out.insert(
+            0, out[0].reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+        )
+    return tuple(out)
 
 
 def wrong_pair_sources(class_id: jax.Array) -> jax.Array:
@@ -273,8 +301,15 @@ def make_train_step(
             wrong_g, start, cond.shape[0], axis=0
         )
 
+    branch_num = int(cfg.TREE.BRANCH_NUM)
+
     def train_step(state: GanTrainState, batch: dict, base_rng: jax.Array):
-        batch = dict(batch, images=normalize_images(batch["images"]))
+        batch = dict(
+            batch,
+            images=expand_image_pyramid(
+                normalize_images(batch["images"]), branch_num
+            ),
+        )
         rng = jax.random.fold_in(base_rng, state.step)
         rng_z, rng_ca = jax.random.split(rng)
         b = batch["images"][0].shape[0]

@@ -141,9 +141,18 @@ def cert_gan_ab(variants=None, trials: int = 3) -> list[dict]:
     k_lo, k_hi = 2, 10
     built = []
     for name, bsz, over in variants:
-        run_k, state, batch, gflop = _build_gan_runner(bsz, **over)
-        for k in (k_lo, k_hi):
-            float(run_k(state, batch, jax.random.key(1), k))  # compile
+        try:
+            run_k, state, batch, gflop = _build_gan_runner(bsz, **over)
+            for k in (k_lo, k_hi):
+                float(run_k(state, batch, jax.random.key(1), k))  # compile
+        except Exception as e:  # e.g. OOM at a large batch: skip, keep rest
+            print(
+                json.dumps(
+                    {"what": name, "error": f"{type(e).__name__}: {e}"[:300]}
+                ),
+                flush=True,
+            )
+            continue
         built.append((name, bsz, run_k, state, batch, gflop))
     best = {name: float("inf") for name, *_ in built}
     for _ in range(trials):
@@ -411,11 +420,13 @@ def main():
     if args.what == "parts":
         out.extend(cert_gan_parts())
     if args.what == "batch":
+        # D_TRUNK_BATCH off: it loses ~1% past b96 (docs/PERF.md) and keeps
+        # these comparable with the round-2 sweep rows.
         out.extend(
             cert_gan_ab(
                 variants=[
-                    (f"gan_b{b}_transpose", b, {})
-                    for b in (24, 48, 96)
+                    (f"gan_b{b}_transpose", b, {"GAN.D_TRUNK_BATCH": False})
+                    for b in (96, 192)
                 ]
             )
         )

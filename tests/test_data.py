@@ -226,10 +226,22 @@ def test_gan_batch_factory_pipeline_selection(fake_dataset):
         return c
 
     for pipeline in ("grain", "pil", "native"):
+        # product defaults: uint8 pixels, top scale only (the jitted step
+        # normalizes and derives the pyramid on device)
         factory = cli.gan_batch_factory(cfg_with(pipeline))
         b = next(iter(factory(0)))
-        assert b["images"][1].shape == (2, 128, 128, 3), pipeline
+        assert len(b["images"]) == 1, pipeline
+        assert b["images"][0].shape == (2, 128, 128, 3), pipeline
+        assert b["images"][0].dtype == np.uint8, pipeline
         assert b["embedding"].shape == (2, EMB), pipeline
+
+        # reference layout on request
+        c = cfg_with(pipeline)
+        c.DATA.SHIP_SCALES = "all"
+        c.DATA.IMAGE_DTYPE = "float32"
+        b = next(iter(cli.gan_batch_factory(c)(0)))
+        assert b["images"][1].shape == (2, 128, 128, 3), pipeline
+        assert b["images"][0].dtype == np.float32, pipeline
 
     with pytest.raises(ValueError):
         cli.gan_batch_factory(cfg_with("bogus"))
@@ -297,3 +309,27 @@ def test_synthetic_uint8_batches():
         np.testing.assert_allclose(
             f32, np.asarray(normalize_images([u8])[0]), atol=1.01 / 127.5
         )
+
+
+def test_ship_top_only_iterator(fake_dataset):
+    """ship_scales='top' yields a 1-tuple with only the largest scale, for
+    both the PIL and native loader paths, and the device-side pyramid
+    matches the host pyramid within quantization."""
+    from s2i_tpu.train.gan import expand_image_pyramid, normalize_images
+
+    split = StackGanSplit(fake_dataset, "train")
+    b_all = next(
+        iter(GanEpochIterator(split, 4, 3, seed=9, use_native=False))
+    )
+    b_top = next(
+        iter(
+            GanEpochIterator(
+                split, 4, 3, seed=9, use_native=False, ship_scales="top"
+            )
+        )
+    )
+    assert len(b_top["images"]) == 1
+    assert b_top["images"][0].shape == (4, 256, 256, 3)
+    derived = expand_image_pyramid(normalize_images(b_top["images"]), 3)
+    for host, dev in zip(b_all["images"], derived):
+        np.testing.assert_allclose(host, np.asarray(dev), atol=2e-5)

@@ -280,3 +280,26 @@ def test_train_step_accepts_uint8_images():
     assert int(state2.step) == 1
     for k, v in mets.items():
         assert np.isfinite(float(v)), f"{k} not finite"
+
+
+def test_ship_top_only_matches_full_pyramid():
+    """DATA.SHIP_SCALES=top: a batch carrying only the 256-scale produces the
+    same step as the full host-side pyramid (the device's 2x area-pool is the
+    same linear op the loaders apply)."""
+    cfg = tiny_cfg()  # branch_num=2, float32
+    models = gan.build_models(cfg)
+    _, batch_full = gan_batch(cfg)
+    batch_top = dict(batch_full, images=batch_full["images"][-1:])
+
+    state0 = gan.init_state(cfg, models, jax.random.key(0), batch_full)
+    step = jax.jit(gan.make_train_step(cfg, models))
+    s_full, m_full = step(state0, batch_full, jax.random.key(1))
+    s_top, m_top = step(state0, batch_top, jax.random.key(1))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-5, atol=2e-5,
+        ),
+        (s_full.g_params, m_full),
+        (s_top.g_params, m_top),
+    )
