@@ -155,16 +155,34 @@ def cert_gan_ab(variants=None, trials: int = 3) -> list[dict]:
             continue
         built.append((name, bsz, run_k, state, batch, gflop))
     best = {name: float("inf") for name, *_ in built}
+    dead: set[str] = set()
     for _ in range(trials):
         for name, bsz, run_k, state, batch, gflop in built:
-            t_lo = _timed(run_k, state, batch, jax.random.key(1), k_lo, reps=2)
-            t_hi = _timed(run_k, state, batch, jax.random.key(1), k_hi, reps=2)
+            if name in dead:
+                continue
+            try:
+                t_lo = _timed(
+                    run_k, state, batch, jax.random.key(1), k_lo, reps=2
+                )
+                t_hi = _timed(
+                    run_k, state, batch, jax.random.key(1), k_hi, reps=2
+                )
+            except Exception as e:  # runtime OOM etc: drop variant, keep rest
+                dead.add(name)
+                print(
+                    json.dumps(
+                        {"what": name, "error": f"{type(e).__name__}: {e}"[:300]}
+                    ),
+                    flush=True,
+                )
+                continue
             per = (t_hi - t_lo) / (k_hi - k_lo)
             if per > 0:
                 best[name] = min(best[name], per)
     return [
         _gan_record(name, bsz, gflop, best[name])
         for name, bsz, _rk, _s, _b, gflop in built
+        if name not in dead and best[name] < float("inf")
     ]
 
 
