@@ -154,7 +154,10 @@ def bench_loop() -> None:
     )
 
 
-def main() -> None:
+def main(batch_size: int = 96) -> None:
+    """Headline: the full train step at the certified best-throughput batch
+    (b96 on a 16 GB v5e — docs/PERF.md batch sweep; b24, the reference
+    training-recipe batch, measures ~516 imgs/sec via --batch 24)."""
     import jax
 
     from s2i_tpu import config
@@ -163,11 +166,16 @@ def main() -> None:
 
     cfg = config.default_cfg()  # full-size: gf=df=64, 3 stages, 256px top
     cfg.DTYPE.COMPUTE = "bfloat16"
-    batch_size = 24
+    if batch_size >= 96:
+        # D-dispatch batching loses ~1% once the kernels are already full
+        # (docs/PERF.md); it's a small-batch optimization.
+        cfg.GAN.D_TRUNK_BATCH = False
     models = gan.build_models(cfg)
     ds = SyntheticGanDataset(num_classes=8, examples_per_class=3)
     batch = {
-        k: v for k, v in ds.batch(np.arange(batch_size)).items() if k != "class_id"
+        k: v
+        for k, v in ds.batch(np.arange(batch_size) % ds.n).items()
+        if k != "class_id"
     }
     import jax.numpy as jnp
 
@@ -220,10 +228,17 @@ if __name__ == "__main__":
         help="headline GAN step throughput (default), mel-frontend "
         "frames/sec, or end-to-end GanTrainer loop throughput",
     )
+    ap.add_argument(
+        "--batch", type=int, default=96,
+        help="GAN-step batch size (96 = certified best imgs/sec/chip; "
+        "24 = reference training-recipe batch)",
+    )
     cli_args = ap.parse_args()
-    fn = {"mel": bench_frontend, "loop": bench_loop, "gan": main}[
-        cli_args.metric
-    ]
+    fn = {
+        "mel": bench_frontend,
+        "loop": bench_loop,
+        "gan": functools.partial(main, cli_args.batch),
+    }[cli_args.metric]
     # The relay's remote-compile service occasionally drops a response
     # mid-body (INTERNAL error); one retry after a cool-down recovers it.
     try:
