@@ -154,6 +154,83 @@ def bench_loop() -> None:
     )
 
 
+def bench_infer() -> None:
+    """Serving-path benchmark: the single jitted wav→256px-image program
+    (s2i_tpu.pipeline.SpeechToImage — what scripts/serve.py dispatches).
+    Reports best-of synchronous round-trip latency at batch 1 and the
+    batched throughput at batch 8. On the relay tunnel every call pays
+    ~32 ms RTT + ~13 ms/MB readback; on a real host those are sub-ms.
+    Run with: python bench.py --metric infer"""
+    import time as _t
+
+    import jax
+    import numpy as np
+
+    from s2i_tpu import config
+    from s2i_tpu.data import SyntheticGanDataset
+    from s2i_tpu.pipeline import SpeechToImage
+    from s2i_tpu.train import gan
+
+    cfg = config.default_cfg()
+    cfg.TRAIN.JOINT_FT = True
+    models = gan.build_models(cfg, joint=True)
+    from s2i_tpu.audio import frontend_params_from_cfg
+
+    p = frontend_params_from_cfg(cfg.AUDIO)
+    max_samples = (p.max_frames - 1) * p.hop_length + p.win_length
+    ds = SyntheticGanDataset(num_classes=2, examples_per_class=4)
+    feats_b = 8
+    batch = {
+        "images": tuple(
+            np.asarray(v) for v in ds.batch(np.arange(feats_b))["images"]
+        ),
+        "embedding": np.zeros((feats_b, int(cfg.TEXT.DIMENSION)), np.float32),
+        "feats": np.zeros(
+            (feats_b, p.max_frames, int(cfg.AUDIO.N_MELS)), np.float32
+        ),
+        "feat_mask": np.ones((feats_b, p.max_frames), np.float32),
+        "teacher": np.zeros((feats_b, int(cfg.TEXT.DIMENSION)), np.float32),
+    }
+    state = gan.init_state(cfg, models, jax.random.key(0), batch)
+    pipe = SpeechToImage(cfg, None, state)
+
+    rng = np.random.default_rng(0)
+    results = {}
+    for b in (1, 8):
+        wavs = rng.standard_normal((b, max_samples)).astype(np.float32)
+        lens = np.full((b,), max_samples, np.int32)
+        # uint8 output = the serving path (device-side quantize, 4x less
+        # readback)
+        kw = dict(output_dtype="uint8")
+        np.asarray(pipe.generate(wavs, lens, seed=0, **kw))  # compile
+        best = float("inf")
+        for s in range(5):
+            t0 = _t.perf_counter()
+            np.asarray(pipe.generate(wavs, lens, seed=s, **kw))
+            best = min(best, _t.perf_counter() - t0)
+        results[b] = best
+    print(
+        json.dumps(
+            {
+                "metric": "speech_to_image_b1_latency_ms",
+                "value": round(results[1] * 1e3, 1),
+                "unit": "ms round-trip (incl. relay RTT)",
+                "vs_baseline": 1.0,  # tracked metric, no fixed target
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "speech_to_image_b8_images_per_sec",
+                "value": round(8.0 / results[8], 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
 def main(batch_size: int = 96) -> None:
     """Headline: the full train step at the certified best-throughput batch
     (b96 on a 16 GB v5e — docs/PERF.md batch sweep; b24, the reference
@@ -224,9 +301,10 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
-        "--metric", choices=["gan", "mel", "loop"], default="gan",
+        "--metric", choices=["gan", "mel", "loop", "infer"], default="gan",
         help="headline GAN step throughput (default), mel-frontend "
-        "frames/sec, or end-to-end GanTrainer loop throughput",
+        "frames/sec, end-to-end GanTrainer loop throughput, or serving "
+        "wav->image latency/throughput",
     )
     ap.add_argument(
         "--batch", type=int, default=96,
@@ -237,6 +315,7 @@ if __name__ == "__main__":
     fn = {
         "mel": bench_frontend,
         "loop": bench_loop,
+        "infer": bench_infer,
         "gan": functools.partial(main, cli_args.batch),
     }[cli_args.metric]
     # The relay's remote-compile service occasionally drops a response

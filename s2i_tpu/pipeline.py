@@ -48,8 +48,10 @@ class SpeechToImage:
         # jnp frontend beats the Pallas kernel on v5e (docs/PERF.md)
         use_pallas = False
 
-        @functools.partial(jax.jit, static_argnames=("branch",))
-        def _generate(enc_state, gan_state, wavs, wav_lens, rng, branch):
+        @functools.partial(jax.jit, static_argnames=("branch", "quantize"))
+        def _generate(
+            enc_state, gan_state, wavs, wav_lens, rng, branch, quantize=False
+        ):
             feats, mask = extract_features(
                 wavs, self.p, use_pallas=use_pallas, wav_len=wav_lens
             )
@@ -83,7 +85,15 @@ class SpeechToImage:
                 c,
                 train=False,
             )
-            return imgs[branch]
+            img = imgs[branch]
+            if quantize:
+                # device-side PNG-ready bytes (same formula as
+                # utils.images.to_uint8): 4x less device→host readback —
+                # the serving path's dominant cost on thin links.
+                img = jnp.clip(
+                    (img + 1.0) * 127.5 + 0.5, 0.0, 255.0
+                ).astype(jnp.uint8)
+            return img
 
         self._generate = _generate
 
@@ -162,9 +172,13 @@ class SpeechToImage:
         wav_lens: np.ndarray | None = None,
         seed: int = 0,
         stage: int = -1,
+        output_dtype: str = "float32",
     ) -> np.ndarray:
-        """wavs [B, n_samples] float32 in [-1,1] → images [B, S, S, 3] in
-        [-1,1] at the requested stage (-1 = highest resolution)."""
+        """wavs [B, n_samples] float32 in [-1,1] → images [B, S, S, 3] at the
+        requested stage (-1 = highest resolution). ``output_dtype="float32"``
+        returns [-1,1] floats; ``"uint8"`` quantizes to [0,255] ON DEVICE
+        (identical bytes to utils.images.to_uint8, 4x less readback — what
+        the serving layer uses)."""
         wavs = jnp.asarray(wavs, jnp.float32)
         if wav_lens is None:
             wav_lens = jnp.full((wavs.shape[0],), wavs.shape[1], jnp.int32)
@@ -177,6 +191,7 @@ class SpeechToImage:
             jnp.asarray(wav_lens, jnp.int32),
             jax.random.key(seed),
             stage,
+            quantize=output_dtype == "uint8",
         )
         return np.asarray(imgs)
 
@@ -185,7 +200,6 @@ class SpeechToImage:
     ) -> None:
         """wav files → PNG files (host IO + one device pass)."""
         from s2i_tpu.audio.wavio import read_wav, resample_linear
-        from s2i_tpu.utils.images import to_uint8
         from PIL import Image
 
         p = self.p
@@ -198,6 +212,6 @@ class SpeechToImage:
             m = min(len(x), max_samples)
             wavs[i, :m] = x[:m]
             lens[i] = m
-        imgs = to_uint8(self.generate(wavs, lens, seed))
+        imgs = self.generate(wavs, lens, seed, output_dtype="uint8")
         for img, out in zip(imgs, out_paths):
             Image.fromarray(img).save(out)

@@ -67,7 +67,8 @@ class Batcher:
                 wavs[j, : job.n] = job.wav[: job.n]
                 lens[j] = job.n
             try:
-                imgs = self.pipe.generate(wavs, lens)
+                # uint8 readback: PNG-ready bytes, 4x less device→host
+                imgs = self.pipe.generate(wavs, lens, output_dtype="uint8")
                 for j, job in enumerate(jobs):
                     job.result = imgs[j]
             except Exception as e:  # propagate to every waiter
@@ -136,10 +137,8 @@ def make_server(
                 return
             from PIL import Image
 
-            from s2i_tpu.utils.images import to_uint8
-
             buf = io.BytesIO()
-            Image.fromarray(to_uint8(job.result)).save(buf, format="PNG")
+            Image.fromarray(job.result).save(buf, format="PNG")
             png = buf.getvalue()
             self.send_response(200)
             self.send_header("Content-Type", "image/png")

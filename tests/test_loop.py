@@ -164,6 +164,14 @@ def test_speech_to_image_pipeline(tmp_path):
     np.testing.assert_array_equal(imgs, pipe.generate(wav, seed=3))
     assert not np.allclose(imgs, pipe.generate(wav, seed=4))
 
+    # uint8 output (device-side quantize, what serving reads back) matches
+    # host-side to_uint8 of the float output byte-for-byte
+    from s2i_tpu.utils.images import to_uint8
+
+    u8 = pipe.generate(wav, seed=3, output_dtype="uint8")
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(u8, to_uint8(imgs))
+
     # file path
     wp = str(tmp_path / "a.wav")
     write_wav(wp, wav[0], 16000)
