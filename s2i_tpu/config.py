@@ -117,7 +117,9 @@ def default_cfg() -> AttrDict:
                 "R_NUM": 2,  # residual blocks per next-stage
                 "REMAT": False,  # rematerialize G stages in backward
                 # Upsample-conv formulation in G's up-blocks: "naive" |
-                # "fused" | "fused4" | "transpose" (see layers.UpConv3x3;
+                # "fused" | "fused4" | "transpose" | "transpose_cvjp"
+                # (custom input-gradient that avoids XLA's 100 MB spatial
+                # reverse in the backward; see layers.UpConv3x3;
                 # all are the same math and checkpoint-compatible — safe to
                 # flip mid-run). "transpose" (lhs-dilated conv, 2.25× fewer
                 # MACs) measured fastest on v5e: 516 vs 490 imgs/sec over

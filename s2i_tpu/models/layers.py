@@ -12,6 +12,7 @@ fuses better under XLA).
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -64,6 +65,57 @@ _PHASE_M4 = (
 )
 
 
+_UP_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _upconv_t_raw(x, kt):
+    """lhs-dilated (stride-2 transposed) conv with the 4×4 interleaved-phase
+    kernel — the 'transpose' UpConv3x3 forward."""
+    return jax.lax.conv_general_dilated(
+        x,
+        kt,
+        (1, 1),
+        ((2, 2), (2, 2)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=_UP_DN,
+    )
+
+
+@jax.custom_vjp
+def _upconv_t(x, kt):
+    """_upconv_t_raw with a hand-written input-gradient.
+
+    XLA lowers autodiff's input-gradient of the lhs-dilated conv with a
+    spatial ``reverse`` of the upstream 2H×2W gradient — ~100 MB of pure
+    data movement per 256² up-block (profiled: reverse.5, docs/PERF.md).
+    The same gradient is exactly a stride-2 conv with the REVERSED 4×4
+    kernel (io-swapped), whose reverse is free. Weight gradient reuses
+    autodiff's own lowering (it has no reverse)."""
+    return _upconv_t_raw(x, kt)
+
+
+def _upconv_t_fwd(x, kt):
+    return _upconv_t_raw(x, kt), (x, kt)
+
+
+def _upconv_t_bwd(res, g):
+    x, kt = res
+    k_rev = jnp.swapaxes(kt[::-1, ::-1], 2, 3)  # [4,4,co,ci]
+    dx = jax.lax.conv_general_dilated(
+        g,
+        k_rev,
+        (2, 2),
+        ((1, 1), (1, 1)),
+        dimension_numbers=_UP_DN,
+    )
+    _, vjp_k = jax.vjp(lambda kk: _upconv_t_raw(x, kk), kt)
+    (dkt,) = vjp_k(g)
+    return dx, dkt
+
+
+_upconv_t.defvjp(_upconv_t_fwd, _upconv_t_bwd)
+
+
 class UpConv3x3(nn.Module):
     """3×3 'same' conv applied to the nearest-neighbor ×2 upsample of the
     input. Four mathematically identical formulations (``mode``), sharing one
@@ -106,17 +158,11 @@ class UpConv3x3(nn.Module):
                 dimension_numbers=dn,
             )
 
-        if self.mode == "transpose":
+        if self.mode in ("transpose", "transpose_cvjp"):
             m = jnp.asarray(_PHASE_M4, kernel.dtype)
             kt = jnp.einsum("rp,sq,pqio->rsio", m, m, kernel)
-            return jax.lax.conv_general_dilated(
-                x.astype(self.dtype),
-                kt.astype(self.dtype),
-                (1, 1),
-                ((2, 2), (2, 2)),
-                lhs_dilation=(2, 2),
-                dimension_numbers=dn,
-            )
+            op = _upconv_t if self.mode == "transpose_cvjp" else _upconv_t_raw
+            return op(x.astype(self.dtype), kt.astype(self.dtype))
 
         rs = tuple(jnp.asarray(r, kernel.dtype) for r in _PHASE_R)
         phase_k = [

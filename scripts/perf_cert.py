@@ -417,13 +417,39 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--what",
-        choices=["gan", "mel", "both", "ab", "parts", "batch", "dtrunk"],
+        choices=["gan", "mel", "both", "ab", "parts", "batch", "dtrunk", "cvjp"],
         default="both",
     )
     args = ap.parse_args()
     out = []
     if args.what == "ab":
         out.extend(cert_gan_ab())
+    if args.what == "cvjp":
+        out.extend(
+            cert_gan_ab(
+                variants=[
+                    ("gan_b24_transpose", 24, {}),
+                    (
+                        "gan_b24_transpose_cvjp",
+                        24,
+                        {"GAN.UPSAMPLE_MODE": "transpose_cvjp"},
+                    ),
+                    (
+                        "gan_b96_transpose",
+                        96,
+                        {"GAN.D_TRUNK_BATCH": False},
+                    ),
+                    (
+                        "gan_b96_transpose_cvjp",
+                        96,
+                        {
+                            "GAN.D_TRUNK_BATCH": False,
+                            "GAN.UPSAMPLE_MODE": "transpose_cvjp",
+                        },
+                    ),
+                ]
+            )
+        )
     if args.what == "dtrunk":
         out.extend(
             cert_gan_ab(

@@ -335,7 +335,9 @@ def test_d_heads_match_torch():
     np.testing.assert_allclose(np.asarray(cond), t_cond.numpy(), rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("mode", ["fused", "fused4", "transpose"])
+@pytest.mark.parametrize(
+    "mode", ["fused", "fused4", "transpose", "transpose_cvjp"]
+)
 def test_upconv3x3_modes_match_naive(mode):
     """Every UpConv3x3 formulation (GAN.UPSAMPLE_MODE) is the same math as
     nearest-2x upsample + 3x3 SAME conv: outputs AND gradients agree on the
