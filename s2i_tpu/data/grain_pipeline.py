@@ -10,8 +10,6 @@ The native C++ loader remains the default high-throughput path in
 
 from __future__ import annotations
 
-import dataclasses
-
 import grain
 import numpy as np
 

@@ -12,7 +12,6 @@ fuses better under XLA).
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax

@@ -359,6 +359,71 @@ def cert_gan_parts(trials: int = 3) -> list[dict]:
     ]
 
 
+def cert_encoder(trials: int = 3) -> dict:
+    """Distillation-pretrain step (SURVEY.md §3.1 hot loop #2): full-size
+    speech encoder (conv stack + bi-GRU + pool + FC→1024), batch 64 of
+    MAX_FRAMES×N_MELS features, MSE + aux-CE, Adam — one jitted program.
+    The mel frontend feeding it is certified separately (--what mel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from s2i_tpu import config
+    from s2i_tpu.data import SyntheticSpeechDataset
+    from s2i_tpu.train import encoder as enc_train
+
+    cfg = config.default_cfg()
+    cfg.DTYPE.COMPUTE = "bfloat16"
+    batch_size = 64
+    model = enc_train.build_encoder(cfg)
+    ds = SyntheticSpeechDataset(
+        num_classes=int(cfg.ENCODER.N_CLASSES),
+        examples_per_class=1,
+        max_frames=int(cfg.AUDIO.MAX_FRAMES),
+        n_mels=int(cfg.AUDIO.N_MELS),
+        emb_dim=int(cfg.TEXT.DIMENSION),
+    )
+    batch = jax.tree.map(
+        jnp.asarray, ds.batch(np.arange(batch_size) % ds.n)
+    )
+    state = enc_train.init_encoder_state(cfg, model, jax.random.key(0), batch)
+    step = enc_train.make_encoder_train_step(cfg, model)
+
+    @functools.partial(jax.jit, static_argnames="k")
+    def run_k(state, batch, rng, k):
+        def body(s, _):
+            s2, _m = step(s, batch, rng)
+            return s2, None
+
+        out, _ = jax.lax.scan(body, state, None, length=k)
+        return sum(
+            jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(out.params)
+        )
+
+    gflop = (
+        _flops_of(jax.jit(step).lower(state, batch, jax.random.key(1)).compile())
+        / 1e9
+    )
+    k_lo, k_hi = 2, 10
+    for k in (k_lo, k_hi):
+        float(run_k(state, batch, jax.random.key(1), k))  # compile
+    best = float("inf")
+    for _ in range(trials):
+        t_lo = _timed(run_k, state, batch, jax.random.key(1), k_lo, reps=2)
+        t_hi = _timed(run_k, state, batch, jax.random.key(1), k_hi, reps=2)
+        per = (t_hi - t_lo) / (k_hi - k_lo)
+        if 0 < per < best:
+            best = per
+    return {
+        "what": "encoder_distill_step_b64_T1024_bf16",
+        "xla_gflop_per_step": round(gflop, 1),
+        "device_step_s": round(best, 5),
+        "device_utts_per_sec": round(batch_size / best, 1),
+        "device_tflops": round(gflop / best / 1e3, 1),
+        "mfu_vs_bf16_peak": round(gflop * 1e9 / best / V5E_BF16_PEAK, 3),
+        "method": "scan-chain diff, scalar readback",
+    }
+
+
 def _mel_chain_time(fn, wav, k_lo=2, k_hi=22):
     """Differenced per-call device time of a wav->mel function."""
     import jax
@@ -417,7 +482,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--what",
-        choices=["gan", "mel", "both", "ab", "parts", "batch", "dtrunk", "cvjp"],
+        choices=["gan", "mel", "both", "ab", "parts", "batch", "dtrunk", "cvjp", "enc"],
         default="both",
     )
     args = ap.parse_args()
@@ -474,6 +539,8 @@ def main():
                 ]
             )
         )
+    if args.what == "enc":
+        out.append(cert_encoder())
     if args.what in ("gan", "both"):
         out.append(cert_gan())
     if args.what in ("mel", "both"):

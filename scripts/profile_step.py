@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def capture(out_dir: str, steps: int) -> None:
+def capture(out_dir: str, steps: int, batch_size: int = 24) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -31,12 +31,13 @@ def capture(out_dir: str, steps: int) -> None:
 
     cfg = config.default_cfg()
     cfg.DTYPE.COMPUTE = "bfloat16"
-    batch_size = 24
+    if batch_size >= 96:
+        cfg.GAN.D_TRUNK_BATCH = False  # headline b96 config (docs/PERF.md)
     models = gan.build_models(cfg)
     ds = SyntheticGanDataset(num_classes=8, examples_per_class=3)
     batch = jax.tree.map(
         jnp.asarray,
-        {k: v for k, v in ds.batch(np.arange(batch_size)).items()
+        {k: v for k, v in ds.batch(np.arange(batch_size) % ds.n).items()
          if k != "class_id"},
     )
     state = gan.init_state(cfg, models, jax.random.key(0), batch)
@@ -97,11 +98,12 @@ def analyze(out_dir: str, top: int = 30) -> None:
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=24)
     ap.add_argument("--out", default="/tmp/s2i_trace")
     ap.add_argument("--analyze-only", action="store_true")
     args = ap.parse_args()
     if not args.analyze_only:
-        capture(args.out, args.steps)
+        capture(args.out, args.steps, args.batch)
     analyze(args.out)
 
 
