@@ -202,3 +202,43 @@ def test_gnet_remat_matches_no_remat():
     np.testing.assert_allclose(
         np.asarray(out1[-1]), np.asarray(out2[-1]), atol=1e-6
     )
+
+
+def test_parallel_step_matches_single_device_thin_batch():
+    """The product transfer layout (DATA.IMAGE_DTYPE=uint8 +
+    DATA.SHIP_SCALES=top) under the 8-way mesh: device-side normalization
+    and pyramid expansion run per-shard inside shard_map and must equal the
+    single-device step on the identical thin global batch."""
+    cfg = tiny_cfg()
+    cfg.TRAIN.OPTIMIZER = "sgd"
+    mesh = make_mesh()
+    models = gan.build_models(cfg)
+    ds = SyntheticGanDataset(
+        branch_num=2, emb_dim=32, image_dtype="uint8", ship_scales="top"
+    )
+    batch = dict(ds.batch(np.arange(16)))
+    batch.pop("class_id")
+    assert len(batch["images"]) == 1
+    assert batch["images"][0].dtype == np.uint8
+    state0 = gan.init_state(cfg, models, jax.random.key(0), batch)
+
+    s1, m1 = jax.jit(gan.make_train_step(cfg, models))(
+        state0, batch, jax.random.key(1)
+    )
+    s8 = replicate_state(state0, mesh)
+    sbatch = shard_batch(batch, mesh)
+    pstep = make_parallel_train_step(cfg, models, mesh)
+    s8, m8 = pstep(s8, sbatch, jax.random.key(1))
+
+    for (path, x), y in zip(
+        jax.tree.leaves_with_path((s1.g_params, s1.d_params)),
+        jax.tree.leaves((s8.g_params, s8.d_params)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-5, rtol=1e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m8[k]), atol=1e-5, rtol=1e-5, err_msg=k
+        )
