@@ -11,6 +11,7 @@ are left open for extension.
 from s2i_tpu.parallel.mesh import (
     make_mesh,
     make_parallel_encoder_step,
+    make_parallel_sample_fn,
     make_parallel_train_step,
     maybe_initialize_distributed,
     replicate_state,
@@ -20,6 +21,7 @@ from s2i_tpu.parallel.mesh import (
 __all__ = [
     "make_mesh",
     "make_parallel_encoder_step",
+    "make_parallel_sample_fn",
     "make_parallel_train_step",
     "maybe_initialize_distributed",
     "replicate_state",

@@ -85,6 +85,28 @@ def make_parallel_encoder_step(cfg, model, mesh: Mesh) -> Callable:
     return jax.jit(sharded, donate_argnums=(0,))
 
 
+def make_parallel_sample_fn(
+    cfg, models: gan.GanModels, mesh: Mesh, use_ema: bool = True
+) -> Callable:
+    """jit(shard_map(sample_fn)): embeddings batch-sharded over the data
+    axis, state/rng replicated. Per-global-index noise makes the output
+    EXACTLY the single-device sampling for the same seed — pod-scale test-set
+    generation for IS/FID (BASELINE config #5) with no semantic drift."""
+    axis = str(cfg.MESH.DATA_AXIS)
+    models = gan.build_models(
+        cfg, axis_name=axis, joint=models.encoder is not None
+    )
+    fn = gan.make_sample_fn(cfg, models, use_ema, axis_name=axis)
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_parallel_train_step(
     cfg, models: gan.GanModels, mesh: Mesh
 ) -> Callable:

@@ -471,12 +471,17 @@ def make_train_step(
     return train_step
 
 
-def make_sample_fn(cfg, models: GanModels, use_ema: bool = True) -> Callable:
+def make_sample_fn(
+    cfg, models: GanModels, use_ema: bool = True, axis_name: str | None = None
+) -> Callable:
     """Deterministic-per-seed sampling: (state, embedding, rng) → images.
 
     Uses the Polyak-averaged G (reference snapshots load avg_param_G) and
-    eval-mode CA (c = μ) unless ``sample_z`` noise injection is requested via
-    the rng. Returns the list of per-stage images.
+    eval-mode CA (c = μ). Returns the list of per-stage images. Noise is
+    drawn per GLOBAL example index (like the train step), so the
+    shard_map-wrapped version (``axis_name`` set — see
+    parallel.make_parallel_sample_fn) produces exactly the single-device
+    images for the same seed and global batch.
     """
     z_dim = int(cfg.GAN.Z_DIM)
 
@@ -487,7 +492,10 @@ def make_sample_fn(cfg, models: GanModels, use_ema: bool = True) -> Callable:
             else {"ca": state.g_params["ca"], "g": state.g_params["g"]}
         )
         b = embedding.shape[0]
-        z = jax.random.normal(rng, (b, z_dim), jnp.float32)
+        offset = (
+            jax.lax.axis_index(axis_name) * b if axis_name is not None else 0
+        )
+        z = _per_example_normal(rng, offset + jnp.arange(b), (z_dim,))
         c, _, _ = models.ca.apply(
             {"params": params["ca"]}, embedding, train=False
         )

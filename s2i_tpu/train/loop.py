@@ -15,6 +15,7 @@ import jax
 import numpy as np
 
 from s2i_tpu.parallel import (
+    make_parallel_sample_fn,
     make_parallel_train_step,
     replicate_state,
     shard_batch,
@@ -86,7 +87,12 @@ class GanTrainer:
                 gan.make_train_step(cfg, self.models), donate_argnums=(0,)
             )
         self.state = state
-        self.sample_fn = jax.jit(gan.make_sample_fn(cfg, self.models))
+        if mesh is not None:
+            # Sharded sampling (pod-scale test-set generation); bitwise the
+            # single-device images for the same seed (per-global-index z).
+            self.sample_fn = make_parallel_sample_fn(cfg, self.models, mesh)
+        else:
+            self.sample_fn = jax.jit(gan.make_sample_fn(cfg, self.models))
         self._write_run_metadata()
 
     def _write_run_metadata(self) -> None:
@@ -273,6 +279,10 @@ class GanTrainer:
         embedding, save top-scale PNGs."""
         from s2i_tpu.utils.images import save_images
 
+        if self.mesh is not None:
+            # shard_map needs the batch divisible by the data axis
+            m = int(np.prod(list(self.mesh.shape.values())))
+            batch_size = ((batch_size + m - 1) // m) * m
         n = embeddings.shape[0]
         names = names or [f"{i:06d}" for i in range(n)]
         for s in range(samples_per_emb):

@@ -242,3 +242,29 @@ def test_parallel_step_matches_single_device_thin_batch():
         np.testing.assert_allclose(
             float(m1[k]), float(m8[k]), atol=1e-5, rtol=1e-5, err_msg=k
         )
+
+
+def test_parallel_sample_matches_single_device():
+    """Sharded sampling (pod-scale test-set generation for IS/FID) equals
+    single-device sampling exactly: z is drawn per GLOBAL example index."""
+    from s2i_tpu.parallel import make_parallel_sample_fn
+
+    cfg = tiny_cfg()
+    mesh = make_mesh()
+    models = gan.build_models(cfg)
+    ds = SyntheticGanDataset(branch_num=2, emb_dim=32)
+    batch = dict(ds.batch(np.arange(16)))
+    state = gan.init_state(cfg, models, jax.random.key(0), batch)
+    emb = jnp.asarray(batch["embedding"])
+
+    s_imgs = jax.jit(gan.make_sample_fn(cfg, models))(
+        state, emb, jax.random.key(7)
+    )
+    p_imgs = make_parallel_sample_fn(cfg, models, mesh)(
+        replicate_state(state, mesh), emb, jax.random.key(7)
+    )
+    assert len(s_imgs) == len(p_imgs) == 2
+    for a, b in zip(s_imgs, p_imgs):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        )
