@@ -231,29 +231,50 @@ def bench_infer() -> None:
     )
 
 
-def main(batch_size: int = 96) -> None:
+def main(batch_size: int = 96, joint: bool = False) -> None:
     """Headline: the full train step at the certified best-throughput batch
     (b96 on a 16 GB v5e — docs/PERF.md batch sweep; b24, the reference
-    training-recipe batch, measures ~516 imgs/sec via --batch 24)."""
+    training-recipe batch, measures ~516 imgs/sec via --batch 24).
+    ``joint=True`` benches BASELINE config #4 instead: the full-size speech
+    encoder (bi-GRU over AUDIO.MAX_FRAMES mel frames) inside the G phase
+    with the distillation regularizer (cfg/birds_joint_ft.yml stack)."""
     import jax
 
     from s2i_tpu import config
-    from s2i_tpu.data import SyntheticGanDataset
+    from s2i_tpu.data import SyntheticGanDataset, SyntheticSpeechDataset
     from s2i_tpu.train import gan
 
     cfg = config.default_cfg()  # full-size: gf=df=64, 3 stages, 256px top
     cfg.DTYPE.COMPUTE = "bfloat16"
+    # match the dataset training recipes (cfg/*_3stages.yml all set 50.0) so
+    # the certified step is literally the cfg/birds_3stages.yml step
+    cfg.TRAIN.COEFF.COLOR_LOSS = 50.0
+    if joint:
+        cfg.TRAIN.JOINT_FT = True
+        cfg.TRAIN.COEFF.DISTILL = 1.0
     if batch_size >= 96:
         # D-dispatch batching loses ~1% once the kernels are already full
         # (docs/PERF.md); it's a small-batch optimization.
         cfg.GAN.D_TRUNK_BATCH = False
-    models = gan.build_models(cfg)
+    models = gan.build_models(cfg, joint=joint)
     ds = SyntheticGanDataset(num_classes=8, examples_per_class=3)
     batch = {
         k: v
         for k, v in ds.batch(np.arange(batch_size) % ds.n).items()
         if k != "class_id"
     }
+    if joint:
+        sp = SyntheticSpeechDataset(
+            num_classes=8,
+            examples_per_class=3,
+            max_frames=int(cfg.AUDIO.MAX_FRAMES),
+            n_mels=int(cfg.AUDIO.N_MELS),
+            emb_dim=int(cfg.TEXT.DIMENSION),
+        )
+        sb = sp.batch(np.arange(batch_size) % sp.n)
+        batch.update(
+            feats=sb["feats"], feat_mask=sb["feat_mask"], teacher=sb["teacher"]
+        )
     import jax.numpy as jnp
 
     batch = jax.tree.map(jnp.asarray, batch)
@@ -286,7 +307,11 @@ def main(batch_size: int = 96) -> None:
     print(
         json.dumps(
             {
-                "metric": "gan_train_images_per_sec_256px",
+                "metric": (
+                    "gan_joint_ft_images_per_sec_256px"
+                    if joint
+                    else "gan_train_images_per_sec_256px"
+                ),
                 "value": round(best, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(best / 256.0, 3),
@@ -301,8 +326,11 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
-        "--metric", choices=["gan", "mel", "loop", "infer"], default="gan",
-        help="headline GAN step throughput (default), mel-frontend "
+        "--metric",
+        choices=["gan", "joint", "mel", "loop", "infer"],
+        default="gan",
+        help="headline GAN step throughput (default), joint-finetune step "
+        "throughput (encoder in the loop, BASELINE config #4), mel-frontend "
         "frames/sec, end-to-end GanTrainer loop throughput, or serving "
         "wav->image latency/throughput",
     )
@@ -317,6 +345,7 @@ if __name__ == "__main__":
         "loop": bench_loop,
         "infer": bench_infer,
         "gan": functools.partial(main, cli_args.batch),
+        "joint": functools.partial(main, cli_args.batch, True),
     }[cli_args.metric]
     # The relay's remote-compile service occasionally drops a response
     # mid-body (INTERNAL error); one retry after a cool-down recovers it.

@@ -74,18 +74,21 @@ def make_mesh_if_configured(cfg):
     if n == 0:
         if n_avail == 1:
             return None  # single chip: plain jit, no shard_map overhead
-        # Auto mesh: largest device count that divides the global batch.
-        # The sharded step is exactly equal to the single-device step
-        # (tests/test_parallel.py psum-correctness), so shrinking the mesh
-        # only costs parallelism — strictly better than erroring out.
+        # Auto mesh: largest DIVISOR of the device count that also divides
+        # the global batch. The sharded step is exactly equal to the
+        # single-device step (tests/test_parallel.py psum-correctness), so
+        # shrinking the mesh only costs parallelism — but only divisor-sized
+        # submeshes are considered: an awkward 6-of-8 mesh would idle
+        # devices AND create sizes the rest of the stack never sees.
         b = int(cfg.TRAIN.BATCH_SIZE)
         n = n_avail
-        while n > 1 and b % n:
+        while n > 1 and (b % n or n_avail % n):
             n -= 1
         if n < n_avail:
             print(
-                f"mesh: using {n}/{n_avail} devices (TRAIN.BATCH_SIZE={b} "
-                f"not divisible by {n_avail})"
+                f"mesh: using {n}/{n_avail} devices (largest divisor of "
+                f"{n_avail} dividing TRAIN.BATCH_SIZE={b}); set "
+                f"MESH.NUM_DEVICES or adjust the batch to use all devices"
             )
         if n == 1:
             return None

@@ -52,15 +52,27 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
 def maybe_initialize_distributed() -> bool:
     """Multi-host bring-up (SURVEY.md §5 'Distributed comm backend'): call
     ``jax.distributed.initialize`` when the standard coordinator env vars are
-    present; DCN handles the cross-slice legs of the same mesh code."""
+    present; DCN handles the cross-slice legs of the same mesh code.
+
+    On managed clusters (Cloud TPU pods, SLURM, Open MPI) the coordinator
+    address alone is enough — jax auto-detects the rest. Elsewhere (e.g. the
+    2-process CPU harness in tests/test_parallel.py) JAX_NUM_PROCESSES and
+    JAX_PROCESS_ID pin the topology explicitly."""
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
-    ):
-        jax.distributed.initialize()
-        return True
-    return False
+    )
+    if not addr:
+        return False
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(nproc) if nproc else None,
+        process_id=int(pid) if pid else None,
+    )
+    return True
 
 
 def make_parallel_encoder_step(cfg, model, mesh: Mesh) -> Callable:

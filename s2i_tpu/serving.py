@@ -36,26 +36,62 @@ class _Job:
 
 
 class Batcher:
-    """Collates jobs into fixed-size device batches (pad with zeros)."""
+    """Collates jobs into fixed-size device batches (pad with zeros).
 
-    def __init__(self, pipe: SpeechToImage, batch_size: int = 8, wait_ms: int = 5):
+    Backpressure: the queue is bounded (``max_pending``); a submit against
+    a full queue raises ``queue.Full`` immediately (the HTTP layer maps it
+    to 503) instead of growing an unbounded backlog behind a slow device.
+    Shutdown: :meth:`close` drains — already-queued jobs still run, new
+    submits are rejected, the collator thread is joined, and anything the
+    collator never reached is failed so no waiter blocks forever.
+    """
+
+    def __init__(
+        self,
+        pipe: SpeechToImage,
+        batch_size: int = 8,
+        wait_ms: int = 5,
+        max_pending: int = 64,
+    ):
         self.pipe = pipe
         self.batch_size = batch_size
         self.wait_s = wait_ms / 1000.0
         p = pipe.p
         self.max_samples = (p.max_frames - 1) * p.hop_length + p.win_length
-        self._q: queue.Queue[_Job] = queue.Queue()
+        self._q: queue.Queue[_Job] = queue.Queue(maxsize=max_pending)
+        self._closed = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def submit(self, wav: np.ndarray) -> _Job:
+        if self._closed.is_set():
+            raise RuntimeError("batcher is shut down")
         job = _Job(wav, min(len(wav), self.max_samples))
-        self._q.put(job)
+        self._q.put_nowait(job)  # raises queue.Full when saturated
         return job
+
+    def close(self, timeout: float = 60.0) -> None:
+        """Idempotent: reject new work, drain the queue, join the thread."""
+        if self._closed.is_set():
+            return
+        self._closed.set()
+        self._thread.join(timeout)
+        while True:  # fail anything the collator never picked up
+            try:
+                job = self._q.get_nowait()
+            except queue.Empty:
+                break
+            job.error = "server shutting down"
+            job.done.set()
 
     def _run(self) -> None:
         while True:
-            jobs = [self._q.get()]
+            try:
+                jobs = [self._q.get(timeout=0.1)]
+            except queue.Empty:
+                if self._closed.is_set():
+                    return  # drained + closed: exit
+                continue
             try:
                 while len(jobs) < self.batch_size:
                     jobs.append(self._q.get(timeout=self.wait_s))
@@ -97,9 +133,9 @@ def _decode_wav_bytes(data: bytes, target_sr: int) -> np.ndarray:
 
 def make_server(
     pipe: SpeechToImage, host: str = "127.0.0.1", port: int = 8500,
-    batch_size: int = 8,
+    batch_size: int = 8, max_pending: int = 64,
 ) -> ThreadingHTTPServer:
-    batcher = Batcher(pipe, batch_size)
+    batcher = Batcher(pipe, batch_size, max_pending=max_pending)
     sample_rate = pipe.p.sample_rate
 
     class Handler(BaseHTTPRequestHandler):
@@ -130,7 +166,14 @@ def make_server(
             except Exception as e:
                 self._json(400, {"error": f"bad wav: {e}"})
                 return
-            job = batcher.submit(wav)
+            try:
+                job = batcher.submit(wav)
+            except queue.Full:
+                self._json(503, {"error": "queue full, retry later"})
+                return
+            except RuntimeError:
+                self._json(503, {"error": "server shutting down"})
+                return
             job.done.wait(timeout=120)
             if job.error or job.result is None:
                 self._json(500, {"error": job.error or "timeout"})
@@ -146,4 +189,11 @@ def make_server(
             self.end_headers()
             self.wfile.write(png)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        def server_close(self):  # stop/restart-safe: join the collator
+            super().server_close()
+            batcher.close()
+
+    srv = Server((host, port), Handler)
+    srv.batcher = batcher
+    return srv

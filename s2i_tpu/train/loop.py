@@ -259,10 +259,23 @@ class GanTrainer:
         return {k: float(v) for k, v in mets.items()}
 
     def _save_grid(self, step: int) -> None:
-        emb = jax.numpy.asarray(self._viz_batch["embedding"][:8])
-        imgs = self.sample_fn(self.state, emb, jax.random.key(42))
+        emb = np.asarray(self._viz_batch["embedding"][:8])
+        n = emb.shape[0]
+        if self.mesh is not None:
+            # shard_map needs the batch divisible by the data axis: pad the
+            # viz embeddings up to a multiple of the mesh size and trim the
+            # padded rows after sampling (same recipe as sample_to_dir).
+            m = int(np.prod(list(self.mesh.shape.values())))
+            pad = (-n) % m
+            if pad:
+                emb = np.concatenate(
+                    [emb, np.zeros((pad, emb.shape[1]), emb.dtype)]
+                )
+        imgs = self.sample_fn(
+            self.state, jax.numpy.asarray(emb), jax.random.key(42)
+        )
         save_image_grid(
-            np.asarray(imgs[-1]),
+            np.asarray(imgs[-1])[:n],
             os.path.join(self.output_dir, "images", f"fake_{step:07d}.png"),
         )
 

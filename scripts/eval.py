@@ -25,14 +25,24 @@ def retrieval_main(args):
     from s2i_tpu.eval import retrieval_metrics
 
     def load(path):
+        """Embedding pickle → ([N_rows, D] array, group ids).
+
+        The extractor dumps [N_img, n_captions, D] (SURVEY.md §3.2); the
+        image index is the retrieval group id — an image's other captions
+        are positives too. A flat [N, D] pickle degrades to paired mode."""
         with open(path, "rb") as f:
             e = pickle.load(f)
         e = np.asarray(e, np.float32)
-        return e.reshape(-1, e.shape[-1])
+        if e.ndim == 3:
+            ids = np.repeat(np.arange(e.shape[0]), e.shape[1])
+            return e.reshape(-1, e.shape[-1]), ids
+        return e.reshape(-1, e.shape[-1]), np.arange(e.shape[0])
 
-    q, t = load(args.retrieval[0]), load(args.retrieval[1])
+    (q, qid), (t, tid) = load(args.retrieval[0]), load(args.retrieval[1])
     n = min(len(q), len(t))
-    m = retrieval_metrics(q[:n], t[:n])
+    m = retrieval_metrics(
+        q[:n], t[:n], query_ids=qid[:n], target_ids=tid[:n]
+    )
     import json
 
     print(json.dumps(m, indent=2))

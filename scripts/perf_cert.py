@@ -51,33 +51,54 @@ def _timed(fn, *args, reps=4):
     return best
 
 
-def _build_gan_runner(batch_size: int = 24, **cfg_overrides):
-    """(run_k, state, batch, gflop_per_step) for one GAN-step variant."""
+def _build_gan_runner(batch_size: int = 24, joint: bool = False, **cfg_overrides):
+    """(run_k, state, batch, gflop_per_step) for one GAN-step variant.
+
+    ``joint=True`` builds the BASELINE config #4 step (SURVEY.md §3.5): the
+    full-size speech encoder (conv stack + bi-GRU over MAX_FRAMES mel
+    features) inside the G phase, cfg/birds_joint_ft.yml loss stack
+    (DISTILL=1, COLOR=50)."""
     import jax
     import jax.numpy as jnp
 
     from s2i_tpu import config
-    from s2i_tpu.data import SyntheticGanDataset
+    from s2i_tpu.data import SyntheticGanDataset, SyntheticSpeechDataset
     from s2i_tpu.train import gan
 
     cfg = config.default_cfg()
     cfg.DTYPE.COMPUTE = "bfloat16"
+    # training-recipe parity: every dataset YAML sets COLOR_LOSS=50, so the
+    # certified step must carry the color-consistency term too
+    cfg.TRAIN.COEFF.COLOR_LOSS = 50.0
+    if joint:
+        cfg.TRAIN.JOINT_FT = True
+        cfg.TRAIN.COEFF.DISTILL = 1.0  # cfg/birds_joint_ft.yml
     for key, val in cfg_overrides.items():
         node = cfg
         parts = key.split(".")
         for p in parts[:-1]:
             node = getattr(node, p)
         setattr(node, parts[-1], val)
-    models = gan.build_models(cfg)
+    models = gan.build_models(cfg, joint=joint)
     ds = SyntheticGanDataset(num_classes=8, examples_per_class=3)
-    batch = jax.tree.map(
-        jnp.asarray,
-        {
-            k: v
-            for k, v in ds.batch(np.arange(batch_size) % ds.n).items()
-            if k != "class_id"
-        },
-    )
+    batch = {
+        k: v
+        for k, v in ds.batch(np.arange(batch_size) % ds.n).items()
+        if k != "class_id"
+    }
+    if joint:
+        sp = SyntheticSpeechDataset(
+            num_classes=8,
+            examples_per_class=3,
+            max_frames=int(cfg.AUDIO.MAX_FRAMES),
+            n_mels=int(cfg.AUDIO.N_MELS),
+            emb_dim=int(cfg.TEXT.DIMENSION),
+        )
+        sb = sp.batch(np.arange(batch_size) % sp.n)
+        batch.update(
+            feats=sb["feats"], feat_mask=sb["feat_mask"], teacher=sb["teacher"]
+        )
+    batch = jax.tree.map(jnp.asarray, batch)
     state = gan.init_state(cfg, models, jax.random.key(0), batch)
     step = gan.make_train_step(cfg, models)
 
@@ -140,9 +161,13 @@ def cert_gan_ab(variants=None, trials: int = 3) -> list[dict]:
         ]
     k_lo, k_hi = 2, 10
     built = []
-    for name, bsz, over in variants:
+    for variant in variants:
+        name, bsz, over = variant[:3]
+        joint = bool(variant[3]) if len(variant) > 3 else False
         try:
-            run_k, state, batch, gflop = _build_gan_runner(bsz, **over)
+            run_k, state, batch, gflop = _build_gan_runner(
+                bsz, joint=joint, **over
+            )
             for k in (k_lo, k_hi):
                 float(run_k(state, batch, jax.random.key(1), k))  # compile
         except Exception as e:  # e.g. OOM at a large batch: skip, keep rest
@@ -511,6 +536,25 @@ def main():
                             "GAN.D_TRUNK_BATCH": False,
                             "GAN.UPSAMPLE_MODE": "transpose_cvjp",
                         },
+                    ),
+                ]
+            )
+        )
+    if args.what == "joint":
+        # BASELINE config #4 (joint speech-encoder + GAN finetune) vs the
+        # frozen-embedding step, interleaved at both the reference batch and
+        # the throughput batch. utts == imgs here (one utterance per image).
+        out.extend(
+            cert_gan_ab(
+                variants=[
+                    ("gan_b24_frozen", 24, {}),
+                    ("gan_b24_joint_ft", 24, {}, True),
+                    ("gan_b96_frozen", 96, {"GAN.D_TRUNK_BATCH": False}),
+                    (
+                        "gan_b96_joint_ft",
+                        96,
+                        {"GAN.D_TRUNK_BATCH": False},
+                        True,
                     ),
                 ]
             )

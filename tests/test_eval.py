@@ -59,6 +59,45 @@ def test_retrieval_perfect_and_random():
     assert m2["q2t"]["r@1"] < 0.5
 
 
+def test_retrieval_multi_positive_map_closed_form():
+    """True AP with several positives per query (10-captions-per-image
+    protocol): positives at ranks 1 and 3 → AP = (1/1 + 2/3)/2."""
+    from s2i_tpu.eval.retrieval import _rank_metrics
+
+    sim = np.array([[3.0, 2.0, 1.0, 0.0]])
+    pos = np.array([[True, False, True, False]])
+    m = _rank_metrics(sim, pos, ks=(1, 2))
+    assert m["map"] == pytest.approx((1.0 + 2.0 / 3.0) / 2.0)
+    assert m["mrr"] == 1.0 and m["r@1"] == 1.0 and m["medr"] == 1.0
+    # positive only at rank 2: r@1=0, mrr=1/2, AP=1/2
+    m2 = _rank_metrics(
+        np.array([[3.0, 2.0, 1.0]]), np.array([[False, True, False]]), ks=(1, 2)
+    )
+    assert m2["map"] == pytest.approx(0.5)
+    assert m2["mrr"] == pytest.approx(0.5)
+    assert m2["r@1"] == 0.0 and m2["r@2"] == 1.0
+
+
+def test_retrieval_grouped_ids():
+    """Grouped mode: every caption of the query's image counts as a
+    positive. Group-prototype embeddings (orthogonal one-hots) rank all
+    same-group targets first → perfect mAP both directions."""
+    n_groups, per = 6, 4
+    ids = np.repeat(np.arange(n_groups), per)
+    emb = np.eye(n_groups, 32)[ids] + 0.01 * np.random.default_rng(
+        0
+    ).normal(size=(n_groups * per, 32))
+    m = retrieval_metrics(emb, emb, ks=(1, per), query_ids=ids, target_ids=ids)
+    for d in ("q2t", "t2q"):
+        assert m[d]["r@1"] == 1.0
+        assert m[d]["map"] == pytest.approx(1.0)
+    # mismatched-arg validation
+    with pytest.raises(ValueError):
+        retrieval_metrics(emb, emb, query_ids=ids)
+    with pytest.raises(ValueError):
+        retrieval_metrics(emb[:5], emb[:4])
+
+
 def test_inception_forward_and_metrics_smoke():
     from s2i_tpu.eval import InceptionFeatures, fid_score, inception_score
 

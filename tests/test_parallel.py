@@ -3,6 +3,8 @@ code path on the 8-device virtual CPU mesh. Checks pmean correctness on a
 closed-form case, replication invariants of the parallel GAN step, and
 bitwise determinism across runs."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -148,6 +150,89 @@ def test_parallel_step_matches_single_device(wrong_pair):
         np.testing.assert_allclose(
             float(m1[k]), float(m8[k]), atol=1e-5, rtol=1e-5, err_msg=k
         )
+
+
+def test_parallel_step_matches_single_device_adam_x64():
+    """Optimizer-path coverage of the cross-mesh equality (the SGD variant
+    above leaves Adam untested): run the same 8-way == 1-device check under
+    JAX_ENABLE_X64 with fp64 params/compute, where Adam's sign-like first
+    step can no longer amplify reduction-order noise — so the Adam chain
+    (pmean-ed grads → m/v update → param delta → EMA) must agree to ~1e-9.
+    Runs in a subprocess because jax_enable_x64 is process-global."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.update(
+        JAX_ENABLE_X64="1",
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+    )
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    script = os.path.join(os.path.dirname(__file__), "_x64_adam_equality.py")
+    proc = subprocess.run(
+        [sys.executable, script],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "X64_ADAM_EQUALITY_OK" in proc.stdout
+
+
+@pytest.mark.slow
+def test_multihost_two_process_step_matches_single_device():
+    """The DCN-analog branch (SURVEY.md §5 'Distributed comm backend'):
+    two OS processes, each with 4 virtual CPU devices, joined through
+    ``maybe_initialize_distributed`` into one 8-device global mesh; one GAN
+    step on that mesh must equal the single-device step — the cross-process
+    counterpart of test_parallel_step_matches_single_device."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    script = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            PALLAS_AXON_POOL_IPS="",
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, script],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                env=env,
+            )
+        )
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid}:\n{out}"
+        assert "MULTIHOST_OK" in out, f"process {pid}:\n{out}"
 
 
 def test_shard_batch_rejects_indivisible():
