@@ -231,6 +231,107 @@ def bench_infer() -> None:
     )
 
 
+def bench_data() -> None:
+    """Host data-path budget (VERDICT r2 missing #3): measure the native
+    C++ JPEG decode+transform rate on fixture JPEGs — per-core, on this
+    box's single core — and the PIL fallback rate, then state how many
+    host cores feed the certified device rates (810 imgs/sec at b96 /
+    516 at b24). Run with: python bench.py --metric data"""
+    import tempfile
+    import time as _t
+
+    import numpy as np
+    from PIL import Image
+
+    from s2i_tpu import native
+
+    n_img, src = 64, 400  # CUB-like source resolution (~470×400)
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for i in range(n_img):
+            img = (
+                rng.integers(0, 256, (src, src, 3), dtype=np.uint8)
+                if i % 2
+                else np.tile(
+                    rng.integers(0, 256, (src, 1, 3), dtype=np.uint8),
+                    (1, src, 1),
+                )  # mix noisy + smooth JPEGs: entropy affects decode time
+            )
+            p = f"{d}/img_{i:03d}.jpg"
+            Image.fromarray(img).save(p, quality=95)
+            paths.append(p)
+
+        def rate_native(threads: int, reps: int = 5) -> float:
+            best = 0.0
+            for r in range(reps):
+                t0 = _t.perf_counter()
+                _, failed = native.load_batch(
+                    paths, None, 256, 3, seed=r, augment=True,
+                    num_threads=threads, dtype="uint8",
+                )
+                dt = _t.perf_counter() - t0
+                assert failed == 0
+                best = max(best, n_img / dt)
+            return best
+
+        def rate_pil(reps: int = 3) -> float:
+            best = 0.0
+            for r in range(reps):
+                t0 = _t.perf_counter()
+                for p in paths:
+                    im = Image.open(p).convert("RGB").resize(
+                        (288, 288), Image.BILINEAR
+                    )
+                    im = im.crop((16, 16, 272, 272))
+                    a256 = np.asarray(im, np.uint8)
+                    a128 = np.asarray(
+                        im.resize((128, 128), Image.BILINEAR), np.uint8
+                    )
+                    _ = np.asarray(
+                        im.resize((64, 64), Image.BILINEAR), np.uint8
+                    )
+                dt = _t.perf_counter() - t0
+                best = max(best, n_img / dt)
+            return best
+
+        if native.native_available():
+            per_core = rate_native(1)
+            pooled = rate_native(8)  # ==1 core here; shows thread overhead
+        else:
+            per_core = pooled = 0.0
+        pil = rate_pil()
+    rec = {
+        "metric": "host_decode_images_per_sec_per_core",
+        "value": round(per_core, 1),
+        "unit": "images/sec/core (native C++ path, uint8, 3-scale)",
+        "vs_baseline": 1.0,  # tracked metric, no fixed target
+    }
+    print(json.dumps(rec))
+    for name, v in (("native_8thread_1core", pooled), ("pil_fallback", pil)):
+        print(
+            json.dumps(
+                {
+                    "metric": f"host_decode_{name}_images_per_sec",
+                    "value": round(v, 1),
+                    "unit": "images/sec",
+                    "vs_baseline": 1.0,
+                }
+            )
+        )
+    if per_core > 0:
+        print(
+            json.dumps(
+                {
+                    "metric": "host_cores_to_feed_b96_device_rate",
+                    "value": round(810.0 / per_core, 2),
+                    "unit": "cores (@810 imgs/sec; b24 needs 516/rate)",
+                    "vs_baseline": 1.0,
+                }
+            )
+        )
+
+
 def main(batch_size: int = 96, joint: bool = False) -> None:
     """Headline: the full train step at the certified best-throughput batch
     (b96 on a 16 GB v5e — docs/PERF.md batch sweep; b24, the reference
@@ -327,12 +428,12 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--metric",
-        choices=["gan", "joint", "mel", "loop", "infer"],
+        choices=["gan", "joint", "mel", "loop", "infer", "data"],
         default="gan",
         help="headline GAN step throughput (default), joint-finetune step "
         "throughput (encoder in the loop, BASELINE config #4), mel-frontend "
-        "frames/sec, end-to-end GanTrainer loop throughput, or serving "
-        "wav->image latency/throughput",
+        "frames/sec, end-to-end GanTrainer loop throughput, serving "
+        "wav->image latency/throughput, or host JPEG decode rate",
     )
     ap.add_argument(
         "--batch", type=int, default=96,
@@ -346,6 +447,7 @@ if __name__ == "__main__":
         "infer": bench_infer,
         "gan": functools.partial(main, cli_args.batch),
         "joint": functools.partial(main, cli_args.batch, True),
+        "data": bench_data,
     }[cli_args.metric]
     # The relay's remote-compile service occasionally drops a response
     # mid-body (INTERNAL error); one retry after a cool-down recovers it.

@@ -77,6 +77,14 @@ def default_cfg() -> AttrDict:
                 "OPTIMIZER": "adam",
                 "ADAM_BETA1": 0.5,
                 "ADAM_BETA2": 0.999,
+                # Adam moment storage dtype for LARGE param leaves
+                # ("float32" | "bfloat16"): bf16 halves the optimizer-state
+                # HBM traffic of the giant D kernels the profile flags
+                # (fp32 math per step, only the stored m/v round). Leaves
+                # smaller than MOMENT_DTYPE_MIN_SIZE elements always keep
+                # fp32 moments.
+                "MOMENT_DTYPE": "float32",
+                "MOMENT_DTYPE_MIN_SIZE": 262144,
                 "NET_G": "",
                 "NET_D": "",
                 "NET_E": "",  # speech-encoder checkpoint (joint finetune)
@@ -132,6 +140,15 @@ def default_cfg() -> AttrDict:
                 # On-chip A/B: +6.7% imgs/sec at batch 24 (default); ~-1% at
                 # batch 96 where kernels are already full — flip off there.
                 "D_TRUNK_BATCH": True,
+                # Space-to-depth recoding of the TOP scale inside the train
+                # step (the HBM-bound low-channel 256² stages): G's top
+                # up-block + to-RGB run at 128²×4C, D256's first conv and the
+                # color loss consume the s2d image directly — the interleaved
+                # 256² tensor never exists in the hot loop. Exact same math
+                # and parameter tree (layers.S2DConv/UpBlockGLU docstrings);
+                # sampling always emits standard images. On-chip A/B in
+                # docs/PERF.md decides the default.
+                "S2D": False,
                 "NETWORK_TYPE": "default",
                 "B_CONDITION": True,
             },

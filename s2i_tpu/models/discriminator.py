@@ -34,11 +34,16 @@ class _Trunk(nn.Module):
     extra_down: int = 0
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    # GAN.S2D: the input image arrives in space-to-depth layout; the first
+    # DownBlock consumes it via the rearranged-kernel conv (same params).
+    s2d_in: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True, groups: int = 1):
         ndf = self.df_dim
-        x = DownBlock(ndf, False, self.dtype, self.axis_name)(x, train, groups)
+        x = DownBlock(
+            ndf, False, self.dtype, self.axis_name, s2d_in=self.s2d_in
+        )(x, train, groups)
         x = DownBlock(ndf * 2, True, self.dtype, self.axis_name)(x, train, groups)
         x = DownBlock(ndf * 4, True, self.dtype, self.axis_name)(x, train, groups)
         x = DownBlock(ndf * 8, True, self.dtype, self.axis_name)(x, train, groups)
@@ -99,12 +104,18 @@ class DNetBase(nn.Module):
     # identical math to the sequential passes (GroupedBatchNorm), fewer and
     # better-utilized MXU kernels. Equivalence test in tests/test_models.py.
     trunk_batch: bool = False
+    # GAN.S2D: this D's input image is space-to-depth (top scale only).
+    s2d_in: bool = False
 
     EXTRA_DOWN: int = 0
 
     def setup(self):
         self.trunk = _Trunk(
-            self.df_dim, self.EXTRA_DOWN, self.dtype, self.axis_name
+            self.df_dim,
+            self.EXTRA_DOWN,
+            self.dtype,
+            self.axis_name,
+            self.s2d_in,
         )
         self.heads = _Heads(
             self.df_dim, self.b_condition, self.dtype, self.axis_name
@@ -167,11 +178,20 @@ def build_discriminators(
     dtype: Any = jnp.float32,
     axis_name: str | None = None,
     trunk_batch: bool = False,
+    s2d_top: bool = False,
 ) -> list[nn.Module]:
-    """One D per scale, smallest first (mirrors the reference's D list)."""
+    """One D per scale, smallest first (mirrors the reference's D list).
+    ``s2d_top``: the LARGEST scale's D consumes its image in space-to-depth
+    layout (GAN.S2D — the train step ships that scale s2d)."""
     return [
         _D_CLASSES[64 * 2**i](
-            df_dim, ef_dim, b_condition, dtype, axis_name, trunk_batch
+            df_dim,
+            ef_dim,
+            b_condition,
+            dtype,
+            axis_name,
+            trunk_batch,
+            s2d_top and i == branch_num - 1,
         )
         for i in range(branch_num)
     ]

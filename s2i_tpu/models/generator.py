@@ -71,6 +71,9 @@ class NextStageG(nn.Module):
     dtype: Any = jnp.float32
     axis_name: str | None = None
     up_mode: str = "naive"
+    # GAN.S2D: the final up-block emits space-to-depth [B,H,W,4·ngf/2]
+    # instead of [B,2H,2W,ngf/2] — same values, same params (layers.UpBlockGLU).
+    s2d_out: bool = False
 
     @nn.compact
     def __call__(self, h: jax.Array, c: jax.Array, train: bool = True):
@@ -83,18 +86,25 @@ class NextStageG(nn.Module):
         x = Block3x3GLU(ngf, self.dtype, self.axis_name)(x, train)
         for _ in range(self.num_res):
             x = ResBlockGLU(ngf, self.dtype, self.axis_name)(x, train)
-        x = UpBlockGLU(ngf // 2, self.dtype, self.axis_name, self.up_mode)(
-            x, train
-        )
-        return x  # [B, 2H, 2W, ngf/2]
+        x = UpBlockGLU(
+            ngf // 2,
+            self.dtype,
+            self.axis_name,
+            self.up_mode,
+            s2d_out=self.s2d_out,
+        )(x, train)
+        return x  # [B, 2H, 2W, ngf/2] (or its s2d form)
 
 
 class ToRGB(nn.Module):
     dtype: Any = jnp.float32
+    # s2d=True: input AND output in space-to-depth layout ([B,H,W,12] image);
+    # same conv kernel at the same param path (layers.Conv3x3 s2d mode).
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, h: jax.Array):
-        img = Conv3x3(3, self.dtype)(h)
+        img = Conv3x3(3, self.dtype, s2d=self.s2d)(h)
         return nn.tanh(img.astype(jnp.float32))
 
 
@@ -114,11 +124,25 @@ class GNet(nn.Module):
     # all modes are checkpoint-compatible with each other. "transpose"
     # measured fastest on v5e (docs/PERF.md A/B).
     up_mode: str = "transpose"
+    # GAN.S2D: compute the TOP stage (the HBM-bound low-channel 2S×2S maps)
+    # in space-to-depth layout — top up-block, BN/GLU, and to-RGB all run at
+    # S×S×4C. Exact same math and parameter tree as the normal layout
+    # (tests/test_models.py). The call's ``s2d_out`` chooses the top image's
+    # layout: True returns its s2d form [B,S,S,12] (train step: D256 and the
+    # color loss consume s2d directly, so the 2S×2S tensor never exists);
+    # False applies one final depth_to_space (sampling path).
+    s2d_top: bool = False
 
     @nn.compact
     def __call__(
-        self, z: jax.Array, c: jax.Array, train: bool = True
+        self,
+        z: jax.Array,
+        c: jax.Array,
+        train: bool = True,
+        s2d_out: bool = False,
     ) -> list[jax.Array]:
+        from s2i_tpu.models.layers import depth_to_space
+
         init_cls, next_cls = InitStageG, NextStageG
         if self.remat:
             init_cls = nn.remat(InitStageG, static_argnums=(3,))
@@ -134,14 +158,19 @@ class GNet(nn.Module):
         imgs.append(ToRGB(self.dtype, name="to_rgb0")(h))
         ngf = self.gf_dim
         for i in range(1, self.branch_num):
+            is_top = self.s2d_top and i == self.branch_num - 1
             h = next_cls(
                 ngf,
                 self.num_res,
                 self.dtype,
                 self.axis_name,
                 self.up_mode,
+                is_top,
                 name=f"next{i}",
             )(h, c, train)
             ngf //= 2
-            imgs.append(ToRGB(self.dtype, name=f"to_rgb{i}")(h))
+            img = ToRGB(self.dtype, s2d=is_top, name=f"to_rgb{i}")(h)
+            if is_top and not s2d_out:
+                img = depth_to_space(img)
+            imgs.append(img)
         return imgs

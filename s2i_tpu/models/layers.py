@@ -46,6 +46,26 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, 2 * h, 2 * w, c)
 
 
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, 2H, 2W, C] → [B, H, W, 4C], phase-major channel layout:
+    out[..., (2p+q)·C + c] = x[b, 2i+p, 2j+q, c].
+
+    The s2d recoding of the 256² stages (GAN.S2D): the same pixels at a
+    quarter of the spatial extent and 4× the channel depth — the lane/tile
+    shape TPUs prefer for low-C high-resolution feature maps."""
+    b, h2, w2, c = x.shape
+    x = x.reshape(b, h2 // 2, 2, w2 // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h2 // 2, w2 // 2, 4 * c)
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth`."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
 # Phase-collapse matrices for the sub-pixel forms of UpConv3x3 (below).
 # R_a maps the 3 kernel taps of output phase a onto its 2 source taps:
 # output row 2i+a of conv3x3(nearest2x(x)) only ever reads source rows
@@ -169,6 +189,27 @@ class UpConv3x3(nn.Module):
             for a in (0, 1)
             for bb in (0, 1)
         ]
+        if self.mode == "s2d":
+            # space-to-depth OUTPUT: the four sub-pixel phases stay stacked
+            # along channels (phase-major — exactly space_to_depth of the
+            # naive output) instead of being interleaved back to 2H×2W.
+            # Skipping the interleave is the point: the consumer (BN/GLU/
+            # to-RGB in s2d form) keeps working at H×W×4C.
+            xc = x.astype(self.dtype)
+            return jnp.concatenate(
+                [
+                    jax.lax.conv_general_dilated(
+                        xc,
+                        phase_k[2 * a + bb].astype(self.dtype),
+                        (1, 1),
+                        ((1 - a, a), (1 - bb, bb)),
+                        dimension_numbers=dn,
+                    )
+                    for a in (0, 1)
+                    for bb in (0, 1)
+                ],
+                axis=-1,
+            )
         if self.mode == "fused":
             k4 = jnp.stack(phase_k, axis=-2).reshape(2, 2, cin, 4 * cout)
             xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -210,14 +251,77 @@ class UpConv3x3(nn.Module):
         return t.reshape(b, 2 * h, 2 * w, cout)
 
 
-class Conv3x3(nn.Module):
-    """3×3 'same' conv, no bias (BN follows in every use)."""
+def _phase_select(n_src: int, n_k: int, shift: int) -> jnp.ndarray:
+    """Selection tensor S[s,u,d] = 1 iff d == 2s + u + shift (0 ≤ d < n_k):
+    maps an interleaved-domain kernel tap d onto (source-tap s, phase u) of
+    the space-to-depth domain. Out-of-range combinations are zero taps."""
+    import numpy as np
+
+    s = np.arange(n_src)[:, None, None]
+    u = np.arange(2)[None, :, None]
+    d = np.arange(n_k)[None, None, :]
+    return jnp.asarray((d == 2 * s + u + shift).astype(np.float32))
+
+
+class S2DConv(nn.Module):
+    """Drop-in for the ``nn.Conv`` inside :class:`Conv3x3` / :class:`DownBlock`
+    when the input arrives in space-to-depth layout. Holds the IDENTICAL
+    ``[kh,kw,Cin,Cout]`` kernel param (same name, shape, init — checkpoints
+    interchange freely with the normal mode) and convolves with the
+    zero-expanded rearranged kernel over the s2d grid. Exact same math as
+    the interleaved-domain conv (equivalence tests in tests/test_models.py);
+    the zero taps cost extra MACs (≤2.25×) on convs that are a fraction of a
+    percent of the step — the point is never touching the 2H×2W layout.
+
+    mode 'down4x4':   4×4 stride-2 pad-1 conv on the interleaved 2H×2W image
+                      ⇔ 3×3 stride-1 pad-1 conv on [B,H,W,4C], std output.
+    mode 'same3x3':   3×3 stride-1 SAME conv, s2d input AND s2d output.
+    """
 
     features: int
+    mode: str
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        cin = x.shape[-1] // 4
+        kh = 4 if self.mode == "down4x4" else 3
+        kernel = self.param(
+            "kernel", conv_init, (kh, kh, cin, self.features), jnp.float32
+        )
+        if self.mode == "down4x4":
+            m = _phase_select(3, 4, -1)
+            k = jnp.einsum("sud,tve,deio->stuvio", m, m, kernel)
+            k = k.reshape(3, 3, 4 * cin, self.features)
+        elif self.mode == "same3x3":
+            a = jnp.stack([_phase_select(3, 3, -1 - p) for p in (0, 1)])
+            k = jnp.einsum("psud,qtve,deio->stuvipqo", a, a, kernel)
+            k = k.reshape(3, 3, 4 * cin, 4 * self.features)
+        else:
+            raise ValueError(f"unknown S2DConv mode {self.mode!r}")
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k.astype(self.dtype),
+            (1, 1),
+            ((1, 1), (1, 1)),
+            dimension_numbers=_UP_DN,
+        )
+
+
+class Conv3x3(nn.Module):
+    """3×3 'same' conv, no bias (BN follows in every use).
+
+    ``s2d=True``: the input is space-to-depth [B,H,W,4C] and the output stays
+    s2d — same kernel param at the same path (see S2DConv)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    s2d: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.s2d:
+            return S2DConv(self.features, "same3x3", self.dtype, name="Conv_0")(x)
         return nn.Conv(
             self.features,
             (3, 3),
@@ -314,18 +418,35 @@ class BatchNorm(nn.Module):
 class UpBlockGLU(nn.Module):
     """Nearest ×2 upsample → 3×3 conv(2·out) → BN → GLU  (G upsampling unit).
     ``mode`` selects the upsample-conv formulation (see UpConv3x3); all
-    settings share the same parameter tree."""
+    settings share the same parameter tree.
+
+    ``s2d_out=True`` (GAN.S2D): the whole block runs in space-to-depth
+    layout and returns [B,H,W,4·features] = space_to_depth of the normal
+    [B,2H,2W,features] output — exactly, including BN statistics: per-channel
+    stats pool over the four phase positions via a phase→width fold (BN is
+    permutation-invariant over non-channel positions), and GLU splits within
+    each phase block. Same parameter tree as the normal mode."""
 
     features: int
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
     mode: str = "naive"
+    s2d_out: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = UpConv3x3(self.features * 2, self.dtype, self.mode)(x)
-        x = BatchNorm(self.dtype, self.axis_name)(x, train)
-        return glu(x)
+        if not self.s2d_out:
+            x = UpConv3x3(self.features * 2, self.dtype, self.mode)(x)
+            x = BatchNorm(self.dtype, self.axis_name)(x, train)
+            return glu(x)
+        c2 = self.features * 2
+        y = UpConv3x3(c2, self.dtype, "s2d")(x)  # [B,H,W,4·2f] phase-major
+        b, h, w, _ = y.shape
+        y = BatchNorm(self.dtype, self.axis_name)(
+            y.reshape(b, h, w * 4, c2), train
+        ).reshape(b, h, w, 4, c2)
+        a_, g_ = jnp.split(y, 2, axis=-1)  # GLU within each phase block
+        return (a_ * nn.sigmoid(g_)).reshape(b, h, w, 4 * self.features)
 
 
 class Block3x3GLU(nn.Module):
@@ -360,24 +481,32 @@ class ResBlockGLU(nn.Module):
 
 
 class DownBlock(nn.Module):
-    """D downsampling unit: 4×4 stride-2 conv → (BN) → LeakyReLU(0.2)."""
+    """D downsampling unit: 4×4 stride-2 conv → (BN) → LeakyReLU(0.2).
+
+    ``s2d_in=True`` (GAN.S2D): the input arrives as space_to_depth of the
+    2H×2W image; the same kernel param applies via the rearranged-kernel
+    conv (S2DConv 'down4x4') — identical math and output shape."""
 
     features: int
     use_bn: bool = True
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
+    s2d_in: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True, groups: int = 1):
-        x = nn.Conv(
-            self.features,
-            (4, 4),
-            strides=(2, 2),
-            padding=((1, 1), (1, 1)),
-            use_bias=False,
-            dtype=self.dtype,
-            kernel_init=conv_init,
-        )(x)
+        if self.s2d_in:
+            x = S2DConv(self.features, "down4x4", self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (4, 4),
+                strides=(2, 2),
+                padding=((1, 1), (1, 1)),
+                use_bias=False,
+                dtype=self.dtype,
+                kernel_init=conv_init,
+            )(x)
         if self.use_bn:
             x = BatchNorm(self.dtype, self.axis_name)(x, train, groups)
         return nn.leaky_relu(x, 0.2)

@@ -51,6 +51,7 @@ def build_models(
         axis_name=axis_name,
         remat=bool(cfg.GAN.REMAT),
         up_mode=str(getattr(cfg.GAN, "UPSAMPLE_MODE", "naive")),
+        s2d_top=bool(getattr(cfg.GAN, "S2D", False)),
     )
     ds = tuple(
         build_discriminators(
@@ -61,6 +62,7 @@ def build_models(
             dtype,
             axis_name,
             bool(getattr(cfg.GAN, "D_TRUNK_BATCH", False)),
+            bool(getattr(cfg.GAN, "S2D", False)),
         )
     )
     encoder = None
@@ -94,25 +96,85 @@ class GanTrainState(struct.PyTreeNode):
     ema_g: Any  # Polyak copy of g_params['g'] + ['ca'] (None-like empty if off)
 
 
+def _scale_by_adam_cast(
+    b1: float, b2: float, eps: float = 1e-8, dtype=jnp.bfloat16
+) -> optax.GradientTransformation:
+    """``optax.scale_by_adam`` with BOTH moments stored in ``dtype``.
+
+    The b24 device profile ranks the fp32 m/v/param traffic of the giant
+    D256 kernels (4×4×1024×2048 ≈ 100 MB of optimizer-state reads+writes
+    per step) in the top-10 fusions (docs/PERF.md). Storing m and v in
+    bf16 halves that traffic; the per-step math stays fp32 (load → fp32 →
+    update → cast back), so the only difference from stock Adam is the
+    rounding of the stored moments (~0.4% relative). With dtype=float32
+    this is bitwise `scale_by_adam` (tested)."""
+
+    def init(params):
+        z = lambda p: jnp.zeros_like(p, dtype=dtype)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(z, params),
+            nu=jax.tree.map(z, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        f32 = lambda x: x.astype(jnp.float32)
+        mu = jax.tree.map(
+            lambda m, g: b1 * f32(m) + (1.0 - b1) * f32(g), state.mu, updates
+        )
+        nu = jax.tree.map(
+            lambda v, g: b2 * f32(v) + (1.0 - b2) * jnp.square(f32(g)),
+            state.nu,
+            updates,
+        )
+        count = state.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        out = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu
+        )
+        cast = lambda t: jax.tree.map(lambda x: x.astype(dtype), t)
+        return out, optax.ScaleByAdamState(count, cast(mu), cast(nu))
+
+    return optax.GradientTransformation(init, update)
+
+
 def _adam(cfg, lr: float) -> optax.GradientTransformation:
     name = str(getattr(cfg.TRAIN, "OPTIMIZER", "adam")).lower()
     if name == "sgd":
         return optax.sgd(lr)
     if name != "adam":
         raise ValueError(f"unknown TRAIN.OPTIMIZER {name!r}")
-    return optax.adam(
-        lr, b1=float(cfg.TRAIN.ADAM_BETA1), b2=float(cfg.TRAIN.ADAM_BETA2)
+    b1 = float(cfg.TRAIN.ADAM_BETA1)
+    b2 = float(cfg.TRAIN.ADAM_BETA2)
+    mdt = str(getattr(cfg.TRAIN, "MOMENT_DTYPE", "float32")).lower()
+    if mdt in ("", "float32", "fp32"):
+        return optax.adam(lr, b1=b1, b2=b2)
+    # TRAIN.MOMENT_DTYPE=bfloat16: low-precision moments for LARGE leaves
+    # only (≥ TRAIN.MOMENT_DTYPE_MIN_SIZE elements — the D256-scale kernels
+    # whose state traffic shows in the profile); small leaves (BN scales,
+    # biases, heads) keep exact fp32 moments.
+    min_size = int(getattr(cfg.TRAIN, "MOMENT_DTYPE_MIN_SIZE", 262144))
+    big = lambda params: jax.tree.map(lambda p: p.size >= min_size, params)
+    small = lambda params: jax.tree.map(lambda p: p.size < min_size, params)
+    return optax.chain(
+        optax.masked(
+            _scale_by_adam_cast(b1, b2, dtype=jnp.dtype(mdt)), big
+        ),
+        optax.masked(optax.scale_by_adam(b1=b1, b2=b2), small),
+        optax.scale(-lr),
     )
 
 
 def init_state(cfg, models: GanModels, rng: jax.Array, batch: dict) -> GanTrainState:
     """Initialize params/opt-states from one (host) example batch."""
-    batch = dict(
-        batch,
-        images=expand_image_pyramid(
-            normalize_images(batch["images"]), int(cfg.TREE.BRANCH_NUM)
-        ),
+    images = expand_image_pyramid(
+        normalize_images(batch["images"]), int(cfg.TREE.BRANCH_NUM)
     )
+    if bool(getattr(cfg.GAN, "S2D", False)):
+        images = s2d_top_scale(images)
+    batch = dict(batch, images=images)
     r_ca, r_ca2, r_g, r_z, r_d, r_e = jax.random.split(rng, 6)
     emb_dim = int(cfg.TEXT.DIMENSION)
     b = batch["images"][0].shape[0]
@@ -199,6 +261,15 @@ def expand_image_pyramid(images: tuple, branch_num: int) -> tuple:
             0, out[0].reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
         )
     return tuple(out)
+
+
+def s2d_top_scale(images: tuple) -> tuple:
+    """GAN.S2D: recode the top (largest) scale to space-to-depth layout —
+    the layout D's first conv and the color loss consume directly, so the
+    full-resolution interleaved tensor never exists inside the train step."""
+    from s2i_tpu.models.layers import space_to_depth
+
+    return tuple(images[:-1]) + (space_to_depth(images[-1]),)
 
 
 def wrong_pair_sources(class_id: jax.Array) -> jax.Array:
@@ -302,14 +373,15 @@ def make_train_step(
         )
 
     branch_num = int(cfg.TREE.BRANCH_NUM)
+    s2d = bool(getattr(cfg.GAN, "S2D", False))
 
     def train_step(state: GanTrainState, batch: dict, base_rng: jax.Array):
-        batch = dict(
-            batch,
-            images=expand_image_pyramid(
-                normalize_images(batch["images"]), branch_num
-            ),
+        images = expand_image_pyramid(
+            normalize_images(batch["images"]), branch_num
         )
+        if s2d:
+            images = s2d_top_scale(images)
+        batch = dict(batch, images=images)
         rng = jax.random.fold_in(base_rng, state.step)
         rng_z, rng_ca = jax.random.split(rng)
         b = batch["images"][0].shape[0]
@@ -347,6 +419,7 @@ def make_train_step(
                 {"params": g_params["g"], "batch_stats": state.g_stats["g"]},
                 z,
                 c,
+                s2d_out=s2d,  # top fake stays s2d: D256 + color loss eat it
                 mutable=["batch_stats"],
             )
             new_stats["g"] = g_vars["batch_stats"]
@@ -417,7 +490,17 @@ def make_train_step(
             mets["g_adv"] = adv
             mets["kl"] = kl
             if color_coeff > 0 and len(fakes2) > 1:
-                closs = losses.color_consistency_loss(list(fakes2))
+                color_in = list(fakes2)
+                if s2d:
+                    # phase→width fold: [B,H,W,12] → [B,H,4W,3]; per-image
+                    # channel stats are position-permutation-invariant, so
+                    # the loss equals the interleaved-layout loss exactly
+                    t = color_in[-1]
+                    b2, h2, w2, _ = t.shape
+                    color_in[-1] = t.reshape(b2, h2, w2, 4, 3).reshape(
+                        b2, h2, w2 * 4, 3
+                    )
+                closs = losses.color_consistency_loss(color_in)
                 total = total + color_coeff * closs
                 mets["color"] = closs
             if joint and distill_coeff > 0:

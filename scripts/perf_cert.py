@@ -476,7 +476,7 @@ def cert_mel() -> dict:
     import jax
 
     from s2i_tpu.audio.frontend import FrontendParams, logmel_jnp
-    from s2i_tpu.ops.mel_kernel import logmel_pallas
+    from s2i_tpu.ops.mel_kernel import logmel_pallas, logmel_pallas_fused
 
     p = FrontendParams()
     rng = np.random.default_rng(0)
@@ -490,6 +490,20 @@ def cert_mel() -> dict:
 
     per = _mel_chain_time(lambda w: logmel_pallas(w, p), wav)
     per_jnp = _mel_chain_time(lambda w: logmel_jnp(w, p), wav)
+    # v2: framing fused into the kernel via in-kernel DMA (VERDICT r2 #4);
+    # interleaved in the same session so the three-way comparison is fair.
+    # Numerics are certified on the REAL chip here (the CPU test runs the
+    # interpreter; Mosaic is the thing that must agree with jnp).
+    try:
+        want = np.asarray(jax.jit(lambda w: logmel_jnp(w, p))(wav))
+        got = np.asarray(jax.jit(lambda w: logmel_pallas_fused(w, p))(wav))
+        fused_err = float(np.max(np.abs(got - want)))
+        per_fused = _mel_chain_time(
+            lambda w: logmel_pallas_fused(w, p), wav
+        )
+    except Exception as e:  # Mosaic may reject the layout — record, not crash
+        per_fused = fused_err = float("nan")
+        print(f"# fused kernel failed on-chip: {type(e).__name__}: {e}")
     return {
         "what": "mel_frontend_8x64000_fp32",
         "xla_gflop_per_call": round(gflop, 2),
@@ -499,6 +513,10 @@ def cert_mel() -> dict:
         "mfu_vs_bf16_peak": round(gflop * 1e9 / per / V5E_BF16_PEAK, 3),
         "jnp_composite_call_s": round(per_jnp, 6),
         "pallas_speedup_vs_jnp": round(per_jnp / per, 2),
+        "fused_v2_call_s": round(per_fused, 6),
+        "fused_v2_frames_per_sec": round(n_frames / per_fused, 0),
+        "fused_v2_speedup_vs_jnp": round(per_jnp / per_fused, 2),
+        "fused_v2_max_abs_err_vs_jnp": fused_err,
         "method": "scan-chain diff k=22-2, scalar readback",
     }
 
@@ -507,7 +525,10 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--what",
-        choices=["gan", "mel", "both", "ab", "parts", "batch", "dtrunk", "cvjp", "enc"],
+        choices=[
+            "gan", "mel", "both", "ab", "parts", "batch", "dtrunk", "cvjp",
+            "enc", "joint", "s2d", "moments",
+        ],
         default="both",
     )
     args = ap.parse_args()
@@ -535,6 +556,43 @@ def main():
                         {
                             "GAN.D_TRUNK_BATCH": False,
                             "GAN.UPSAMPLE_MODE": "transpose_cvjp",
+                        },
+                    ),
+                ]
+            )
+        )
+    if args.what == "s2d":
+        # Space-to-depth recode of the 256² low-channel stages (the one
+        # layout family the flat b24 profile left untried — VERDICT r2 #2).
+        out.extend(
+            cert_gan_ab(
+                variants=[
+                    ("gan_b24_baseline", 24, {}),
+                    ("gan_b24_s2d", 24, {"GAN.S2D": True}),
+                    ("gan_b96_baseline", 96, {"GAN.D_TRUNK_BATCH": False}),
+                    (
+                        "gan_b96_s2d",
+                        96,
+                        {"GAN.D_TRUNK_BATCH": False, "GAN.S2D": True},
+                    ),
+                ]
+            )
+        )
+    if args.what == "moments":
+        # fp32 vs bf16 Adam-moment storage on the big kernels (VERDICT r2 #3:
+        # the profile ranks the D256 m/v/param traffic in the b24 top-10).
+        out.extend(
+            cert_gan_ab(
+                variants=[
+                    ("gan_b24_m_fp32", 24, {}),
+                    ("gan_b24_m_bf16", 24, {"TRAIN.MOMENT_DTYPE": "bfloat16"}),
+                    ("gan_b96_m_fp32", 96, {"GAN.D_TRUNK_BATCH": False}),
+                    (
+                        "gan_b96_m_bf16",
+                        96,
+                        {
+                            "GAN.D_TRUNK_BATCH": False,
+                            "TRAIN.MOMENT_DTYPE": "bfloat16",
                         },
                     ),
                 ]

@@ -68,6 +68,30 @@ def test_logmel_pallas_matches_jnp():
     )
 
 
+def test_logmel_pallas_fused_matches_jnp():
+    """v2 kernel (framing fused via in-kernel DMA of hop-sized wav rows)
+    must equal the jnp path exactly like v1 — including on lengths that
+    exercise the block/row padding, and with center padding on."""
+    from s2i_tpu.ops.mel_kernel import logmel_pallas_fused
+
+    for n in (8000, 8777):  # aligned + ragged tail
+        wav = jnp.asarray(np.stack([_chirp(n), _chirp(n, f0=400.0)]))
+        want = logmel_jnp(wav, P_SMALL)
+        got = logmel_pallas_fused(wav, P_SMALL, block_frames=16)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+    p_c = FrontendParams(max_frames=64, center=True)
+    wav = jnp.asarray(_chirp(6000))[None]
+    np.testing.assert_allclose(
+        np.asarray(logmel_pallas_fused(wav, p_c, block_frames=16)),
+        np.asarray(logmel_jnp(wav, p_c)),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
 def test_mfcc_shapes():
     wav = jnp.asarray(_chirp(8000))[None]
     m = mfcc_jnp(wav, P_SMALL)

@@ -371,6 +371,141 @@ def test_upconv3x3_modes_match_naive(mode):
             )
 
 
+def test_space_to_depth_roundtrip_and_layout():
+    from s2i_tpu.models.layers import depth_to_space, space_to_depth
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 5)).astype(np.float32))
+    y = space_to_depth(x)
+    assert y.shape == (2, 3, 4, 20)
+    # phase-major channel layout: out[..., (2p+q)*C + c] = x[b, 2i+p, 2j+q, c]
+    np.testing.assert_array_equal(
+        np.asarray(y[0, 1, 2, (2 * 1 + 0) * 5 + 3]), np.asarray(x[0, 3, 4, 3])
+    )
+    np.testing.assert_array_equal(np.asarray(depth_to_space(y)), np.asarray(x))
+
+
+def test_upconv3x3_s2d_mode_is_s2d_of_naive():
+    """UpConv3x3 's2d' output == space_to_depth of the naive output on the
+    shared kernel — values and gradients (the GAN.S2D up-block core)."""
+    from s2i_tpu.models.layers import UpConv3x3, space_to_depth
+
+    rng = np.random.default_rng(7)
+    for h, w, cin, cout in [(4, 4, 16, 8), (8, 6, 5, 12)]:
+        x = jnp.asarray(rng.standard_normal((3, h, w, cin)).astype(np.float32))
+        s2d = UpConv3x3(cout, mode="s2d")
+        naive = UpConv3x3(cout, mode="naive")
+        v = s2d.init(jax.random.key(0), x)
+        y_s = s2d.apply(v, x)
+        assert y_s.shape == (3, h, w, 4 * cout)
+        y_n = space_to_depth(naive.apply(v, x))
+        np.testing.assert_allclose(
+            np.asarray(y_s), np.asarray(y_n), rtol=2e-5, atol=2e-5
+        )
+        gs = jax.grad(lambda p, x: jnp.sum(s2d.apply({"params": p}, x) ** 2),
+                      argnums=(0, 1))(v["params"], x)
+        gn = jax.grad(
+            lambda p, x: jnp.sum(
+                space_to_depth(naive.apply({"params": p}, x)) ** 2
+            ),
+            argnums=(0, 1),
+        )(v["params"], x)
+        for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gn)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+            )
+
+
+def test_upblock_glu_s2d_out_matches_normal():
+    """UpBlockGLU(s2d_out=True) == space_to_depth(UpBlockGLU(...)) with the
+    SAME param tree, in train mode — outputs and updated BN running stats
+    (phase→width fold makes the BN statistics identical)."""
+    from s2i_tpu.models.layers import UpBlockGLU, space_to_depth
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, 6, 6, 10)).astype(np.float32))
+    normal = UpBlockGLU(8, mode="naive")
+    s2d = UpBlockGLU(8, mode="naive", s2d_out=True)
+    v = normal.init(jax.random.key(0), x)
+    y_n, vars_n = normal.apply(v, x, train=True, mutable=["batch_stats"])
+    y_s, vars_s = s2d.apply(v, x, train=True, mutable=["batch_stats"])
+    assert y_s.shape == (4, 6, 6, 32)
+    np.testing.assert_allclose(
+        np.asarray(y_s), np.asarray(space_to_depth(y_n)), rtol=2e-5, atol=2e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(vars_n["batch_stats"]),
+        jax.tree.leaves(vars_s["batch_stats"]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_conv3x3_s2d_matches_normal():
+    """Conv3x3(s2d=True) on the s2d input == s2d of the normal conv (same
+    kernel param at the same path) — the GAN.S2D to-RGB head."""
+    from s2i_tpu.models.layers import Conv3x3, space_to_depth
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 8, 10, 6)).astype(np.float32))
+    normal = Conv3x3(4)
+    s2d = Conv3x3(4, s2d=True)
+    v = normal.init(jax.random.key(0), x)
+    y_n = space_to_depth(normal.apply(v, x))
+    y_s = s2d.apply(v, space_to_depth(x))
+    assert y_s.shape == y_n.shape
+    np.testing.assert_allclose(
+        np.asarray(y_s), np.asarray(y_n), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_downblock_s2d_in_matches_normal():
+    """DownBlock(s2d_in=True) on the s2d image == the normal 4×4 stride-2
+    DownBlock on the interleaved image, same params (GAN.S2D D-input)."""
+    from s2i_tpu.models.layers import DownBlock, space_to_depth
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 16, 12, 3)).astype(np.float32))
+    normal = DownBlock(8, use_bn=False)
+    s2d = DownBlock(8, use_bn=False, s2d_in=True)
+    v = normal.init(jax.random.key(0), x)
+    y_n = normal.apply(v, x, train=True)
+    y_s = s2d.apply(v, space_to_depth(x), train=True)
+    assert y_s.shape == y_n.shape == (2, 8, 6, 8)
+    np.testing.assert_allclose(
+        np.asarray(y_s), np.asarray(y_n), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_gnet_s2d_top_matches_normal():
+    """Full generator forward is invariant to GAN.S2D when the caller asks
+    for standard-layout output (sampling path), same param tree."""
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    g_s = GNet(gf_dim=8, branch_num=3, num_res=1, up_mode="transpose", s2d_top=True)
+    g_n = GNet(gf_dim=8, branch_num=3, num_res=1, up_mode="transpose")
+    v = g_s.init(jax.random.key(1), z, c, train=False)
+    outs_s = g_s.apply(v, z, c, train=False)
+    outs_n = g_n.apply(v, z, c, train=False)
+    for a, b in zip(outs_s, outs_n):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+    # s2d_out=True returns the top image in s2d layout, exactly
+    from s2i_tpu.models.layers import space_to_depth
+
+    outs_raw = g_s.apply(v, z, c, train=False, s2d_out=True)
+    np.testing.assert_allclose(
+        np.asarray(outs_raw[-1]),
+        np.asarray(space_to_depth(outs_n[-1])),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
 def test_gnet_fused_upsample_matches_naive():
     """Full generator forward is invariant to GAN.UPSAMPLE_MODE (same param
     tree, checkpoint-switchable)."""

@@ -264,6 +264,135 @@ def test_train_step_invariant_to_d_trunk_batch():
     )
 
 
+def test_train_step_invariant_to_s2d():
+    """One full fp32 train step with GAN.S2D on/off from the same init must
+    produce the same params and metrics: the space-to-depth recode of the
+    top scale (G up-block + to-RGB + D first conv + color loss) is exactly
+    the interleaved math with a rearranged layout. SGD so the comparison is
+    at fp32 reduction-noise level (Adam's sign-like first step amplifies
+    the phase-conv reorder noise in near-zero grads to ±2·lr — same
+    rationale as tests/test_parallel.py)."""
+    outs = []
+    for flag in (False, True):
+        cfg = tiny_cfg(branch_num=3)
+        cfg.TRAIN.OPTIMIZER = "sgd"
+        cfg.GAN.S2D = flag
+        models = gan.build_models(cfg)
+        _, batch = gan_batch(cfg)
+        state = gan.init_state(cfg, models, jax.random.key(0), batch)
+        step = jax.jit(gan.make_train_step(cfg, models))
+        state, metrics = step(state, batch, jax.random.key(1))
+        outs.append((state, metrics))
+    (s0, m0), (s1, m1) = outs
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=5e-5, atol=5e-5,
+        ),
+        (s0.g_params, s0.d_params, m0),
+        (s1.g_params, s1.d_params, m1),
+    )
+
+
+def test_s2d_sampling_matches_normal():
+    """GAN.S2D does not change the sampling path: same checkpoint, same
+    images (standard layout) with the flag on or off."""
+    cfg_n = tiny_cfg(branch_num=3)
+    cfg_s = tiny_cfg(branch_num=3)
+    cfg_s.GAN.S2D = True
+    models_n = gan.build_models(cfg_n)
+    models_s = gan.build_models(cfg_s)
+    _, batch = gan_batch(cfg_n)
+    state = gan.init_state(cfg_n, models_n, jax.random.key(0), batch)
+    emb = jnp.asarray(batch["embedding"])
+    imgs_n = jax.jit(gan.make_sample_fn(cfg_n, models_n))(
+        state, emb, jax.random.key(7)
+    )
+    imgs_s = jax.jit(gan.make_sample_fn(cfg_s, models_s))(
+        state, emb, jax.random.key(7)
+    )
+    for a, b in zip(imgs_n, imgs_s):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-5
+        )
+
+
+def test_scale_by_adam_cast_fp32_is_exact_adam():
+    """_scale_by_adam_cast(dtype=float32) must be bitwise optax.adam — the
+    bf16-moment mode differs from stock Adam ONLY by the storage rounding."""
+    import optax
+    from s2i_tpu.train.gan import _scale_by_adam_cast
+
+    params = {
+        "w": jnp.asarray(np.random.default_rng(0).normal(size=(16, 8)), jnp.float32),
+        "b": jnp.zeros((8,), jnp.float32),
+    }
+    tx_ref = optax.adam(2e-4, b1=0.5, b2=0.999)
+    tx_cast = optax.chain(
+        _scale_by_adam_cast(0.5, 0.999, dtype=jnp.float32),
+        optax.scale(-2e-4),
+    )
+    s_ref, s_cast = tx_ref.init(params), tx_cast.init(params)
+    g = jax.tree.map(
+        lambda p: jnp.asarray(
+            np.random.default_rng(1).normal(size=p.shape), jnp.float32
+        ),
+        params,
+    )
+    for _ in range(3):
+        u_ref, s_ref = tx_ref.update(g, s_ref, params)
+        u_cast, s_cast = tx_cast.update(g, s_cast, params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            u_ref,
+            u_cast,
+        )
+
+
+def test_moment_dtype_bf16_trains_and_tracks_fp32():
+    """TRAIN.MOMENT_DTYPE=bfloat16 quality guard: the first step's param
+    delta stays within bf16-moment rounding of the fp32 run, the moments of
+    large leaves are actually stored in bf16, and a short training run
+    remains finite."""
+    first = {}
+    for mdt in ("float32", "bfloat16"):
+        cfg = tiny_cfg()
+        cfg.TRAIN.MOMENT_DTYPE = mdt
+        cfg.TRAIN.MOMENT_DTYPE_MIN_SIZE = 1024  # tiny model: catch convs
+        models = gan.build_models(cfg)
+        _, batch = gan_batch(cfg)
+        state = gan.init_state(cfg, models, jax.random.key(0), batch)
+        step = jax.jit(gan.make_train_step(cfg, models))
+        for i in range(5):
+            state, mets = step(state, batch, jax.random.key(1))
+            if i == 0:
+                first[mdt] = state
+        for k, v in mets.items():
+            assert np.isfinite(float(v)), f"{mdt}: {k} not finite"
+        if mdt == "bfloat16":
+            # bf16 moments exist where promised (large conv kernels)
+            bf16_leaves = [
+                x
+                for x in jax.tree.leaves(state.d_opt)
+                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16
+            ]
+            assert bf16_leaves, "no bf16 moment leaves found"
+    # First-step param delta within bf16-moment rounding of fp32 Adam
+    # (~0.4% of an lr-sized update; later steps diverge chaotically through
+    # the GAN dynamics, which is expected of ANY perturbation).
+    for (path, a), b in zip(
+        jax.tree.leaves_with_path(first["float32"].g_params),
+        jax.tree.leaves(first["bfloat16"].g_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_train_step_accepts_uint8_images():
     """DATA.IMAGE_DTYPE=uint8 batches normalize inside the jitted step
     (train + init): one step runs and is finite on raw [0,255] images."""
