@@ -49,24 +49,31 @@ def bench_frontend() -> None:
     import jax.numpy as jnp
 
     from s2i_tpu.audio.frontend import FrontendParams, logmel_jnp
+    from s2i_tpu.ops.mel_kernel import logmel_pallas_fused
 
     p = FrontendParams()
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal((8, 64000)).astype(np.float32))
+    # production-default frontend path: the fused-framing Pallas kernel on
+    # TPU (certified 1.59× the jnp composite — docs/PERF.md round 3), the
+    # jnp formulation elsewhere
+    mel = (
+        (lambda w: logmel_pallas_fused(w, p))
+        if jax.default_backend() == "tpu"
+        else (lambda w: logmel_jnp(w, p))
+    )
 
     @functools.partial(jax.jit, static_argnames="k")
     def run_k(wav, k):
         def body(w, _):
-            # production-default frontend path (jnp; measured faster than
-            # the Pallas kernel on v5e — docs/PERF.md);
             # data dependency defeats overlap/dedup across the k calls
-            out = logmel_jnp(w, p)
+            out = mel(w)
             return w + 1e-12 * jnp.sum(out.astype(jnp.float32)), None
 
         w, _ = jax.lax.scan(body, wav, None, length=k)
         return jnp.sum(w.astype(jnp.float32))
 
-    out = logmel_jnp(wav, p)
+    out = mel(wav)
     n_frames = out.shape[0] * out.shape[1]
     k_lo, k_hi = 2, 22
     for k in (k_lo, k_hi):
@@ -354,9 +361,11 @@ def main(batch_size: int = 96, joint: bool = False) -> None:
         cfg.TRAIN.JOINT_FT = True
         cfg.TRAIN.COEFF.DISTILL = 1.0
     if batch_size >= 96:
-        # D-dispatch batching loses ~1% once the kernels are already full
-        # (docs/PERF.md); it's a small-batch optimization.
+        # D-dispatch batching loses ~1% and the space-to-depth top-scale
+        # recode ~11% once the kernels are already full (docs/PERF.md);
+        # both are small-batch optimizations — exact-math either way.
         cfg.GAN.D_TRUNK_BATCH = False
+        cfg.GAN.S2D = False
     models = gan.build_models(cfg, joint=joint)
     ds = SyntheticGanDataset(num_classes=8, examples_per_class=3)
     batch = {

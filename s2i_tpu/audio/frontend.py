@@ -223,24 +223,28 @@ def normalize_features(
 def extract_features(
     wav: jax.Array,
     p: FrontendParams,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
     wav_len: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Full L0 pipeline: wav [B, n_samples] → ([B, max_frames, D], mask).
 
-    The jnp path is the PRODUCTION default: honest on-chip measurement
-    (docs/PERF.md, scan-chain method) has XLA's fusion of the matmul
-    formulation at ~8-9M frames/sec vs ~5-6M for the fused Pallas kernel —
-    XLA wins this op on v5e. ``use_pallas=True`` routes through the kernel
-    (s2i_tpu.ops.mel_kernel), kept as a tested alternative; both agree with
-    the numpy oracle to ~1e-4. ``wav_len`` (per-utterance sample counts for
+    ``use_pallas=None`` (production default) auto-selects: on TPU the
+    fused-framing Pallas kernel (`ops.mel_kernel.logmel_pallas_fused` —
+    framing + windowed-DFT + mel + log in one VMEM-resident kernel,
+    certified 1.59× the jnp path on v5e, docs/PERF.md round 3); elsewhere
+    the jnp/XLA formulation. ``True``/``False`` force kernel/jnp. The v1
+    kernel (XLA-side framing gather) remains as `logmel_pallas` for A/Bs —
+    it LOSES to jnp (~0.55×) and is not selected. All paths agree with the
+    numpy oracle to ~1e-4. ``wav_len`` (per-utterance sample counts for
     zero-padded batches) tightens the validity mask so padding frames are
     excluded from normalization and downstream pooling.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         from s2i_tpu.ops import mel_kernel
 
-        feats = mel_kernel.logmel_pallas(wav, p)
+        feats = mel_kernel.logmel_pallas_fused(wav, p)
         if p.feature == "mfcc":
             feats = feats @ jnp.asarray(p.dct).T
     else:

@@ -156,8 +156,8 @@ def joint_batch_factory(cfg):
     from s2i_tpu.audio import extract_features, frontend_params_from_cfg
 
     p = frontend_params_from_cfg(cfg.AUDIO)
-    # jnp frontend is faster than the Pallas kernel on v5e (docs/PERF.md)
-    use_pallas = False
+    # auto: fused-framing Pallas kernel on TPU, jnp elsewhere (docs/PERF.md)
+    use_pallas = None
 
     def featurize(b: dict) -> dict:
         feats, mask = extract_features(
@@ -317,7 +317,7 @@ def run_sampling(cfg) -> str:
     return out_dir
 
 
-def speech_batch_factory(cfg, use_pallas: bool = False):
+def speech_batch_factory(cfg, use_pallas: bool | None = None):
     """Encoder-pretrain batches: on-device mel frontend over wav buffers
     (real data) or precomputed synthetic features."""
     if cfg.DATASET_NAME == "synthetic":

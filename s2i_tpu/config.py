@@ -82,7 +82,10 @@ def default_cfg() -> AttrDict:
                 # HBM traffic of the giant D kernels the profile flags
                 # (fp32 math per step, only the stored m/v round). Leaves
                 # smaller than MOMENT_DTYPE_MIN_SIZE elements always keep
-                # fp32 moments.
+                # fp32 moments. On-chip A/B (docs/PERF.md round 3): bf16 is
+                # +2.4% imgs/sec at b24, +1.0% at b96. Default stays fp32 —
+                # exact stock-Adam parity with the reference recipe; flip for
+                # throughput runs (quality-guard test in tests/test_train_gan).
                 "MOMENT_DTYPE": "float32",
                 "MOMENT_DTYPE_MIN_SIZE": 262144,
                 "NET_G": "",
@@ -146,9 +149,12 @@ def default_cfg() -> AttrDict:
                 # color loss consume the s2d image directly — the interleaved
                 # 256² tensor never exists in the hot loop. Exact same math
                 # and parameter tree (layers.S2DConv/UpBlockGLU docstrings);
-                # sampling always emits standard images. On-chip A/B in
-                # docs/PERF.md decides the default.
-                "S2D": False,
+                # sampling always emits standard images; checkpoints
+                # interchange freely. On-chip A/B (docs/PERF.md round 3):
+                # +8.9% imgs/sec at the reference-recipe batch 24 (default
+                # on), −11% at batch 96 where kernels are full (bench.py
+                # flips it off there, like D_TRUNK_BATCH).
+                "S2D": True,
                 "NETWORK_TYPE": "default",
                 "B_CONDITION": True,
             },

@@ -45,8 +45,8 @@ class SpeechToImage:
         self.gan_state = gan_state
         self.use_ema = use_ema
         z_dim = int(cfg.GAN.Z_DIM)
-        # jnp frontend beats the Pallas kernel on v5e (docs/PERF.md)
-        use_pallas = False
+        # auto: fused-framing Pallas kernel on TPU, jnp elsewhere (docs/PERF.md)
+        use_pallas = None
 
         @functools.partial(jax.jit, static_argnames=("branch", "quantize"))
         def _generate(

@@ -38,6 +38,15 @@ class GanModels(NamedTuple):
     encoder: SpeechEncoder | None = None  # set in joint-finetune mode
 
 
+def s2d_enabled(cfg) -> bool:
+    """GAN.S2D is a top-*scale* recode: it targets the HBM-bound low-channel
+    maps of the LAST up-stage (generator `next{i}`/`to_rgb{i}`, i≥1). With
+    TREE.BRANCH_NUM=1 the only image comes from the init stage, which has no
+    s2d formulation — the flag is a structural no-op there, so gate it off
+    everywhere consistently (G, Ds, real-pyramid recode)."""
+    return bool(getattr(cfg.GAN, "S2D", False)) and int(cfg.TREE.BRANCH_NUM) > 1
+
+
 def build_models(
     cfg, axis_name: str | None = None, joint: bool = False
 ) -> GanModels:
@@ -51,7 +60,7 @@ def build_models(
         axis_name=axis_name,
         remat=bool(cfg.GAN.REMAT),
         up_mode=str(getattr(cfg.GAN, "UPSAMPLE_MODE", "naive")),
-        s2d_top=bool(getattr(cfg.GAN, "S2D", False)),
+        s2d_top=s2d_enabled(cfg),
     )
     ds = tuple(
         build_discriminators(
@@ -62,7 +71,7 @@ def build_models(
             dtype,
             axis_name,
             bool(getattr(cfg.GAN, "D_TRUNK_BATCH", False)),
-            bool(getattr(cfg.GAN, "S2D", False)),
+            s2d_enabled(cfg),
         )
     )
     encoder = None
@@ -172,7 +181,7 @@ def init_state(cfg, models: GanModels, rng: jax.Array, batch: dict) -> GanTrainS
     images = expand_image_pyramid(
         normalize_images(batch["images"]), int(cfg.TREE.BRANCH_NUM)
     )
-    if bool(getattr(cfg.GAN, "S2D", False)):
+    if s2d_enabled(cfg):
         images = s2d_top_scale(images)
     batch = dict(batch, images=images)
     r_ca, r_ca2, r_g, r_z, r_d, r_e = jax.random.split(rng, 6)
@@ -373,7 +382,7 @@ def make_train_step(
         )
 
     branch_num = int(cfg.TREE.BRANCH_NUM)
-    s2d = bool(getattr(cfg.GAN, "S2D", False))
+    s2d = s2d_enabled(cfg)
 
     def train_step(state: GanTrainState, batch: dict, base_rng: jax.Array):
         images = expand_image_pyramid(

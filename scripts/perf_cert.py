@@ -527,7 +527,7 @@ def main():
         "--what",
         choices=[
             "gan", "mel", "both", "ab", "parts", "batch", "dtrunk", "cvjp",
-            "enc", "joint", "s2d", "moments",
+            "enc", "joint", "s2d", "moments", "stack",
         ],
         default="both",
     )
@@ -594,6 +594,37 @@ def main():
                             "GAN.D_TRUNK_BATCH": False,
                             "TRAIN.MOMENT_DTYPE": "bfloat16",
                         },
+                    ),
+                ]
+            )
+        )
+    if args.what == "stack":
+        # Round-3 stacking check: the new b24 default (S2D on) + bf16
+        # moments on top, the b48 point of the batch sweep with/without
+        # S2D, and the b96 reference — one interleaved session.
+        out.extend(
+            cert_gan_ab(
+                variants=[
+                    ("gan_b24_default_s2d", 24, {}),
+                    (
+                        "gan_b24_s2d_mbf16",
+                        24,
+                        {"TRAIN.MOMENT_DTYPE": "bfloat16"},
+                    ),
+                    (
+                        "gan_b48_base",
+                        48,
+                        {"GAN.S2D": False, "GAN.D_TRUNK_BATCH": False},
+                    ),
+                    (
+                        "gan_b48_s2d",
+                        48,
+                        {"GAN.D_TRUNK_BATCH": False},
+                    ),
+                    (
+                        "gan_b96_base",
+                        96,
+                        {"GAN.S2D": False, "GAN.D_TRUNK_BATCH": False},
                     ),
                 ]
             )

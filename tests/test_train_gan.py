@@ -294,6 +294,25 @@ def test_train_step_invariant_to_s2d():
     )
 
 
+def test_s2d_noop_with_single_branch():
+    """GAN.S2D with TREE.BRANCH_NUM=1 must be a structural no-op: the only
+    image comes from the init stage (no s2d formulation exists there), so
+    the flag must not s2d the real pyramid or D's input mode — regression
+    for the smoke-chain crash (s2d real concat'd with a standard fake in
+    D's trunk-batch path)."""
+    cfg = tiny_cfg(branch_num=1)
+    cfg.GAN.S2D = True
+    cfg.GAN.D_TRUNK_BATCH = True
+    assert not gan.s2d_enabled(cfg)
+    models = gan.build_models(cfg)
+    _, batch = gan_batch(cfg)
+    state = gan.init_state(cfg, models, jax.random.key(0), batch)
+    step = jax.jit(gan.make_train_step(cfg, models))
+    state, metrics = step(state, batch, jax.random.key(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+
 def test_s2d_sampling_matches_normal():
     """GAN.S2D does not change the sampling path: same checkpoint, same
     images (standard layout) with the flag on or off."""
