@@ -244,10 +244,16 @@ def extract_features(
     if use_pallas:
         from s2i_tpu.ops import mel_kernel
 
-        feats = mel_kernel.logmel_pallas_fused(wav, p)
-        if p.feature == "mfcc":
-            feats = feats @ jnp.asarray(p.dct).T
-    else:
+        try:
+            feats = mel_kernel.logmel_pallas_fused(wav, p)
+        except ValueError:
+            # exotic frame geometry the fused kernel rejects (e.g.
+            # n_fft/hop > 9): fall back to the jnp formulation
+            use_pallas = False
+        else:
+            if p.feature == "mfcc":
+                feats = feats @ jnp.asarray(p.dct).T
+    if not use_pallas:
         feats = mfcc_jnp(wav, p) if p.feature == "mfcc" else logmel_jnp(wav, p)
     feats, mask = crop_or_pad_frames(feats, p.max_frames)
     if wav_len is not None:

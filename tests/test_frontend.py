@@ -92,6 +92,20 @@ def test_logmel_pallas_fused_matches_jnp():
     )
 
 
+def test_extract_features_falls_back_on_exotic_geometry():
+    """use_pallas=True with a frame geometry the fused kernel rejects
+    (n_fft/hop > 9) must silently fall back to the jnp path — the kernel
+    is the production default, so it may never hard-fail on valid cfgs."""
+    from s2i_tpu.audio.frontend import extract_features
+
+    p = FrontendParams(hop_length=32, max_frames=64)
+    wav = jnp.asarray(_chirp(6000))[None]
+    f_k, m_k = extract_features(wav, p, use_pallas=True)
+    f_j, m_j = extract_features(wav, p, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_j), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m_k), np.asarray(m_j))
+
+
 def test_mfcc_shapes():
     wav = jnp.asarray(_chirp(8000))[None]
     m = mfcc_jnp(wav, P_SMALL)

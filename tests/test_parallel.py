@@ -319,8 +319,11 @@ def test_parallel_step_matches_single_device_thin_batch():
         jax.tree.leaves_with_path((s1.g_params, s1.d_params)),
         jax.tree.leaves((s8.g_params, s8.d_params)),
     ):
+        # atol 3e-5: with GAN.S2D on by default, the phase-kernel
+        # contractions add fp32 reduction-reorder noise between the meshed
+        # and single-device graphs just above the old 1e-5 bound
         np.testing.assert_allclose(
-            np.asarray(x), np.asarray(y), atol=1e-5, rtol=1e-4,
+            np.asarray(x), np.asarray(y), atol=3e-5, rtol=1e-4,
             err_msg=jax.tree_util.keystr(path),
         )
     for k in m1:
