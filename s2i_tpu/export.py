@@ -1,0 +1,203 @@
+"""AOT deployment artifacts for the speech→image pipeline (jax.export).
+
+A production serving host should not need the Python model zoo to run
+inference — it needs a hermetic, versioned artifact. This module serializes
+the full wav→image program (frontend → encoder → CA → G, weights baked in
+as constants) to StableHLO via ``jax.export`` and loads it back into a
+drop-in replacement for :class:`s2i_tpu.pipeline.SpeechToImage.generate`:
+
+    pipe = SpeechToImage.from_checkpoints(cfg, enc_ckpt, gan_ckpt)
+    export_pipeline(pipe, "/models/s2i_v1", batch_sizes=(1, 8))
+
+    loaded = load("/models/s2i_v1")          # no cfg, no checkpoints
+    imgs = loaded.generate(wavs, wav_lens, seed=0)
+
+The artifact directory holds one serialized program per batch size
+(``model_b{N}.shlo``) plus ``meta.json`` (shapes, stage resolution, output
+dtype, platform, format version). ``load`` picks the smallest exported
+batch ≥ the request and zero-pads (the same policy as the serving
+micro-batcher).
+
+Programs are exported for the platform they were traced on (the TPU
+lowering includes the Mosaic kernels; CPU exports use the interpret-free
+jnp paths) — ``load`` refuses a platform mismatch rather than miscompiling.
+
+No reference analogue (the reference serves from a live torch process —
+SURVEY.md §2 "Sampler / eval driver"); this is the TPU-native deployment
+story: one StableHLO blob, XLA AOT-compiles it at load, zero Python model
+code on the serving host.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_FORMAT_VERSION = 1
+
+
+def _infer_fn(pipe, stage: int, quantize: bool):
+    """Close the pipeline's jitted generate over its states: weights become
+    program constants, leaving (wavs, wav_lens, seed) as the only inputs."""
+    enc_state, gan_state = pipe.enc_state, pipe.gan_state
+
+    def infer(wavs, wav_lens, seed):
+        rng = jax.random.key(seed)
+        return pipe._generate(
+            enc_state, gan_state, wavs, wav_lens, rng, stage, quantize
+        )
+
+    return infer
+
+
+def export_pipeline(
+    pipe,
+    out_dir: str,
+    batch_sizes: tuple[int, ...] = (1, 8),
+    stage: int = -1,
+    quantize: bool = True,
+) -> dict:
+    """Serialize the wav→image program for each batch size; returns meta."""
+    from jax import export as jexport
+
+    p = pipe.p
+    branch = int(pipe.cfg.TREE.BRANCH_NUM)
+    stage = stage % branch
+    max_samples = (p.max_frames - 1) * p.hop_length + p.win_length
+    os.makedirs(out_dir, exist_ok=True)
+
+    fn = _infer_fn(pipe, stage, quantize)
+    files, platforms = {}, None
+    for b in sorted(set(int(x) for x in batch_sizes)):
+        exp = jexport.export(jax.jit(fn))(
+            jax.ShapeDtypeStruct((b, max_samples), jnp.float32),
+            jax.ShapeDtypeStruct((b,), jnp.int32),
+            jax.ShapeDtypeStruct((), jnp.int32),
+        )
+        platforms = list(exp.platforms)
+        name = f"model_b{b}.shlo"
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(exp.serialize())
+        files[str(b)] = name
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "platforms": platforms,
+        "batch_sizes": sorted(int(b) for b in files),
+        "files": files,
+        "max_samples": int(max_samples),
+        "sample_rate": int(p.sample_rate),
+        # frontend frame geometry so LoadedPipeline can present the same
+        # `.p` surface Batcher/make_server read from a live pipeline
+        "max_frames": int(p.max_frames),
+        "hop_length": int(p.hop_length),
+        "win_length": int(p.win_length),
+        "stage": int(stage),
+        "image_size": 64 * 2**stage,
+        "output_dtype": "uint8" if quantize else "float32",
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+class LoadedPipeline:
+    """Deserialized artifact with the :meth:`SpeechToImage.generate` calling
+    convention (drop-in for ``serving.make_server``'s pipe argument)."""
+
+    def __init__(self, path: str):
+        from jax import export as jexport
+
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+        if self.meta["format_version"] != _FORMAT_VERSION:
+            raise ValueError(
+                f"artifact format {self.meta['format_version']} != "
+                f"supported {_FORMAT_VERSION}"
+            )
+        backend = jax.default_backend()
+        if backend not in self.meta["platforms"]:
+            raise ValueError(
+                f"artifact exported for {self.meta['platforms']}, "
+                f"current backend is {backend!r}"
+            )
+        self._programs = {}
+        for b, name in self.meta["files"].items():
+            with open(os.path.join(path, name), "rb") as f:
+                self._programs[int(b)] = jexport.deserialize(f.read())
+        self.batch_sizes = sorted(self._programs)
+        self.max_samples = int(self.meta["max_samples"])
+        # serving.Batcher/make_server read frontend geometry via `pipe.p`
+        from types import SimpleNamespace
+
+        self.p = SimpleNamespace(
+            sample_rate=int(self.meta["sample_rate"]),
+            max_frames=int(self.meta["max_frames"]),
+            hop_length=int(self.meta["hop_length"]),
+            win_length=int(self.meta["win_length"]),
+        )
+
+    def generate(
+        self,
+        wavs: np.ndarray,
+        wav_lens: np.ndarray | None = None,
+        seed: int = 0,
+        stage: int = -1,
+        output_dtype: str | None = None,
+    ) -> np.ndarray:
+        """wavs [B, n] → images; pads/crops wavs to the exported length and
+        B up to the smallest exported batch ≥ B (trimming the output).
+
+        ``stage``/``output_dtype`` are baked into the artifact; passing a
+        conflicting value raises rather than silently serving the wrong
+        resolution."""
+        if stage != -1 and stage != int(self.meta["stage"]):
+            raise ValueError(
+                f"artifact was exported at stage {self.meta['stage']}; "
+                f"re-export for stage {stage}"
+            )
+        if output_dtype and output_dtype != self.meta["output_dtype"]:
+            raise ValueError(
+                f"artifact emits {self.meta['output_dtype']}; "
+                f"re-export for {output_dtype}"
+            )
+        wavs = np.asarray(wavs, np.float32)
+        b, n = wavs.shape
+        if wav_lens is None:
+            wav_lens = np.full((b,), n, np.int32)
+        wav_lens = np.minimum(
+            np.asarray(wav_lens, np.int32), self.max_samples
+        )
+        buf = np.zeros((b, self.max_samples), np.float32)
+        m = min(n, self.max_samples)
+        buf[:, :m] = wavs[:, :m]
+
+        fits = [bb for bb in self.batch_sizes if bb >= b]
+        bb = fits[0] if fits else self.batch_sizes[-1]
+        outs = []
+        for start in range(0, b, bb):
+            chunk = buf[start : start + bb]
+            lens = wav_lens[start : start + bb]
+            nb = chunk.shape[0]
+            if nb < bb:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bb - nb, self.max_samples), np.float32)]
+                )
+                lens = np.concatenate(
+                    [lens, np.full((bb - nb,), self.max_samples, np.int32)]
+                )
+            img = self._programs[bb].call(
+                jnp.asarray(chunk),
+                jnp.asarray(lens),
+                jnp.asarray(seed, jnp.int32),
+            )
+            outs.append(np.asarray(img)[:nb])
+        return np.concatenate(outs, axis=0)
+
+
+def load(path: str) -> LoadedPipeline:
+    return LoadedPipeline(path)
