@@ -22,6 +22,13 @@ Programs are exported for the platform they were traced on (the TPU
 lowering includes the Mosaic kernels; CPU exports use the interpret-free
 jnp paths) — ``load`` refuses a platform mismatch rather than miscompiling.
 
+Fidelity: on CPU the artifact reproduces the live pipeline bit-for-bit
+(tests/test_export.py). On TPU the artifact and the live program are two
+separate XLA compilations of the same StableHLO, whose fusion choices may
+differ in the last fp32 ulp — measured on-chip at 1/98304 uint8 pixels
+flipping by ±1 at a quantization boundary (round-3 validation). Treat TPU
+artifacts as equal within ±1 quantization step, not bit-identical.
+
 No reference analogue (the reference serves from a live torch process —
 SURVEY.md §2 "Sampler / eval driver"); this is the TPU-native deployment
 story: one StableHLO blob, XLA AOT-compiles it at load, zero Python model
