@@ -360,12 +360,10 @@ def main(batch_size: int = 96, joint: bool = False) -> None:
     if joint:
         cfg.TRAIN.JOINT_FT = True
         cfg.TRAIN.COEFF.DISTILL = 1.0
-    if batch_size >= 96:
-        # D-dispatch batching loses ~1% and the space-to-depth top-scale
-        # recode ~11% once the kernels are already full (docs/PERF.md);
-        # both are small-batch optimizations — exact-math either way.
-        cfg.GAN.D_TRUNK_BATCH = False
-        cfg.GAN.S2D = False
+    # GAN.S2D and GAN.D_TRUNK_BATCH default to "auto": resolved from the
+    # batch size when the step is built (small-batch optimizations; exact
+    # math either way — docs/PERF.md has the crossover A/Bs).
+    cfg.TRAIN.BATCH_SIZE = batch_size
     models = gan.build_models(cfg, joint=joint)
     ds = SyntheticGanDataset(num_classes=8, examples_per_class=3)
     batch = {

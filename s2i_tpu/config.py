@@ -140,9 +140,11 @@ def default_cfg() -> AttrDict:
                 # condition pairings through one heads dispatch) with
                 # per-segment BN stats — same math as the sequential passes
                 # (models.layers.GroupedBatchNorm), fewer/larger MXU kernels.
-                # On-chip A/B: +6.7% imgs/sec at batch 24 (default); ~-1% at
-                # batch 96 where kernels are already full — flip off there.
-                "D_TRUNK_BATCH": True,
+                # On-chip A/B: +6.7% imgs/sec at batch 24; ~-1% at batch 96
+                # where kernels are already full. "auto" (default) resolves
+                # from TRAIN.BATCH_SIZE when the step is built — on below
+                # 96, off at ≥96; pin with an explicit bool.
+                "D_TRUNK_BATCH": "auto",
                 # Space-to-depth recoding of the TOP scale inside the train
                 # step (the HBM-bound low-channel 256² stages): G's top
                 # up-block + to-RGB run at 128²×4C, D256's first conv and the
@@ -151,10 +153,20 @@ def default_cfg() -> AttrDict:
                 # and parameter tree (layers.S2DConv/UpBlockGLU docstrings);
                 # sampling always emits standard images; checkpoints
                 # interchange freely. On-chip A/B (docs/PERF.md round 3):
-                # +8.9% imgs/sec at the reference-recipe batch 24 (default
-                # on), −11% at batch 96 where kernels are full (bench.py
-                # flips it off there, like D_TRUNK_BATCH).
-                "S2D": True,
+                # +8.9% imgs/sec at the reference-recipe batch 24, −7.8% at
+                # batch 48 and −11% at batch 96 where kernels are full.
+                # "auto" (default) resolves from TRAIN.BATCH_SIZE when the
+                # step is built — on below 32 (the measured crossover lies
+                # in (24, 48)); pin with an explicit bool.
+                "S2D": "auto",
+                # Extend the s2d recode to the MIDDLE scales (the 128² stage
+                # of a 3-branch tree): that stage's G up-block/to-RGB and its
+                # D's first conv run in s2d layout; one depth_to_space layout
+                # op feeds the next stage interleaved. Exact math, same
+                # params (tests). Tri-state like S2D ("auto": on below batch
+                # 32). Default off until the on-chip A/B certifies a win
+                # (docs/PERF.md).
+                "S2D_MID": False,
                 "NETWORK_TYPE": "default",
                 "B_CONDITION": True,
             },
@@ -270,6 +282,11 @@ def _merge_into(base: AttrDict, other: Mapping) -> None:
 
 def _types_compatible(old: Any, new: Any) -> bool:
     if old is None or new is None or isinstance(old, dict):
+        return True
+    # tri-state perf levers: "auto" default, bool override (and back)
+    if "auto" in (old, new) and all(
+        isinstance(x, (bool, str)) for x in (old, new)
+    ):
         return True
     if isinstance(old, bool) or isinstance(new, bool):
         return isinstance(old, bool) and isinstance(new, bool)

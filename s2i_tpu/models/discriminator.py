@@ -179,10 +179,12 @@ def build_discriminators(
     axis_name: str | None = None,
     trunk_batch: bool = False,
     s2d_top: bool = False,
+    s2d_mid: bool = False,
 ) -> list[nn.Module]:
     """One D per scale, smallest first (mirrors the reference's D list).
     ``s2d_top``: the LARGEST scale's D consumes its image in space-to-depth
-    layout (GAN.S2D — the train step ships that scale s2d)."""
+    layout (GAN.S2D — the train step ships that scale s2d). ``s2d_mid``:
+    same for the middle scales 0 < i < branch_num-1 (GAN.S2D_MID)."""
     return [
         _D_CLASSES[64 * 2**i](
             df_dim,
@@ -191,7 +193,8 @@ def build_discriminators(
             dtype,
             axis_name,
             trunk_batch,
-            s2d_top and i == branch_num - 1,
+            (s2d_top and i == branch_num - 1)
+            or (s2d_mid and 0 < i < branch_num - 1),
         )
         for i in range(branch_num)
     ]

@@ -132,6 +132,12 @@ class GNet(nn.Module):
     # color loss consume s2d directly, so the 2S×2S tensor never exists);
     # False applies one final depth_to_space (sampling path).
     s2d_top: bool = False
+    # GAN.S2D_MID: same recode for the MIDDLE stages (0 < i < branch_num-1,
+    # e.g. the 128² stage of a 3-branch tree): their up-block + to-RGB run in
+    # s2d layout; one depth_to_space (a layout op, not a conv) restores the
+    # interleaved feature map for the next stage's consumption. Independent
+    # of ``s2d_top``; identical params either way.
+    s2d_mid: bool = False
 
     @nn.compact
     def __call__(
@@ -158,19 +164,22 @@ class GNet(nn.Module):
         imgs.append(ToRGB(self.dtype, name="to_rgb0")(h))
         ngf = self.gf_dim
         for i in range(1, self.branch_num):
-            is_top = self.s2d_top and i == self.branch_num - 1
+            is_top = i == self.branch_num - 1
+            is_s2d = (self.s2d_top and is_top) or (self.s2d_mid and not is_top)
             h = next_cls(
                 ngf,
                 self.num_res,
                 self.dtype,
                 self.axis_name,
                 self.up_mode,
-                is_top,
+                is_s2d,
                 name=f"next{i}",
             )(h, c, train)
             ngf //= 2
-            img = ToRGB(self.dtype, s2d=is_top, name=f"to_rgb{i}")(h)
-            if is_top and not s2d_out:
+            img = ToRGB(self.dtype, s2d=is_s2d, name=f"to_rgb{i}")(h)
+            if is_s2d and not s2d_out:
                 img = depth_to_space(img)
             imgs.append(img)
+            if is_s2d and not is_top:
+                h = depth_to_space(h)  # next stage consumes interleaved
         return imgs

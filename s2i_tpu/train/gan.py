@@ -38,13 +38,53 @@ class GanModels(NamedTuple):
     encoder: SpeechEncoder | None = None  # set in joint-finetune mode
 
 
+def _resolve_lever(value, cfg, on_below: int) -> bool:
+    """Resolve a tri-state perf lever ("auto" | bool): "auto" turns the
+    lever on when TRAIN.BATCH_SIZE < `on_below` — the on-chip A/Bs
+    (docs/PERF.md) show these formulations win only while the per-step
+    kernels are under-full; past the crossover batch they lose."""
+    if isinstance(value, str) and value.lower() == "auto":
+        return int(cfg.TRAIN.BATCH_SIZE) < on_below
+    return bool(value)
+
+
 def s2d_enabled(cfg) -> bool:
     """GAN.S2D is a top-*scale* recode: it targets the HBM-bound low-channel
     maps of the LAST up-stage (generator `next{i}`/`to_rgb{i}`, i≥1). With
     TREE.BRANCH_NUM=1 the only image comes from the init stage, which has no
     s2d formulation — the flag is a structural no-op there, so gate it off
-    everywhere consistently (G, Ds, real-pyramid recode)."""
-    return bool(getattr(cfg.GAN, "S2D", False)) and int(cfg.TREE.BRANCH_NUM) > 1
+    everywhere consistently (G, Ds, real-pyramid recode). "auto" (default)
+    enables it below batch 32: measured +8.9% at b24, −7.8% at b48."""
+    on = _resolve_lever(getattr(cfg.GAN, "S2D", False), cfg, on_below=32)
+    return on and int(cfg.TREE.BRANCH_NUM) > 1
+
+
+def d_trunk_batch_enabled(cfg) -> bool:
+    """GAN.D_TRUNK_BATCH tri-state ("auto" resolves on below batch 96:
+    measured +6.7% at b24, ~−1% at b96)."""
+    return _resolve_lever(
+        getattr(cfg.GAN, "D_TRUNK_BATCH", False), cfg, on_below=96
+    )
+
+
+def s2d_mid_enabled(cfg) -> bool:
+    """GAN.S2D_MID: extend the s2d recode to the MIDDLE scales (e.g. 128² of
+    a 3-branch tree) — their G up-block/to-RGB and D first conv run in s2d
+    layout; one depth_to_space layout op feeds the next stage interleaved.
+    Needs at least one middle stage (branch_num ≥ 3). Tri-state like GAN.S2D;
+    "auto" follows the same batch threshold (on below 32)."""
+    on = _resolve_lever(getattr(cfg.GAN, "S2D_MID", False), cfg, on_below=32)
+    return on and int(cfg.TREE.BRANCH_NUM) >= 3
+
+
+def s2d_scale_flags(cfg) -> tuple:
+    """Per-scale space-to-depth flags for the train step (index i = scale
+    64·2^i): top from GAN.S2D, middles from GAN.S2D_MID, init never."""
+    n = int(cfg.TREE.BRANCH_NUM)
+    top, mid = s2d_enabled(cfg), s2d_mid_enabled(cfg)
+    return tuple(
+        (top and i == n - 1) or (mid and 0 < i < n - 1) for i in range(n)
+    )
 
 
 def build_models(
@@ -61,6 +101,7 @@ def build_models(
         remat=bool(cfg.GAN.REMAT),
         up_mode=str(getattr(cfg.GAN, "UPSAMPLE_MODE", "naive")),
         s2d_top=s2d_enabled(cfg),
+        s2d_mid=s2d_mid_enabled(cfg),
     )
     ds = tuple(
         build_discriminators(
@@ -70,8 +111,9 @@ def build_models(
             bool(cfg.GAN.B_CONDITION),
             dtype,
             axis_name,
-            bool(getattr(cfg.GAN, "D_TRUNK_BATCH", False)),
+            d_trunk_batch_enabled(cfg),
             s2d_enabled(cfg),
+            s2d_mid_enabled(cfg),
         )
     )
     encoder = None
@@ -181,8 +223,7 @@ def init_state(cfg, models: GanModels, rng: jax.Array, batch: dict) -> GanTrainS
     images = expand_image_pyramid(
         normalize_images(batch["images"]), int(cfg.TREE.BRANCH_NUM)
     )
-    if s2d_enabled(cfg):
-        images = s2d_top_scale(images)
+    images = s2d_recode(images, s2d_scale_flags(cfg))
     batch = dict(batch, images=images)
     r_ca, r_ca2, r_g, r_z, r_d, r_e = jax.random.split(rng, 6)
     emb_dim = int(cfg.TEXT.DIMENSION)
@@ -272,13 +313,15 @@ def expand_image_pyramid(images: tuple, branch_num: int) -> tuple:
     return tuple(out)
 
 
-def s2d_top_scale(images: tuple) -> tuple:
-    """GAN.S2D: recode the top (largest) scale to space-to-depth layout —
-    the layout D's first conv and the color loss consume directly, so the
-    full-resolution interleaved tensor never exists inside the train step."""
+def s2d_recode(images: tuple, flags: tuple) -> tuple:
+    """GAN.S2D / GAN.S2D_MID: recode the flagged scales to space-to-depth
+    layout — the layout D's first conv and the color loss consume directly,
+    so those scales' interleaved tensors never exist inside the train step."""
     from s2i_tpu.models.layers import space_to_depth
 
-    return tuple(images[:-1]) + (space_to_depth(images[-1]),)
+    return tuple(
+        space_to_depth(im) if fl else im for im, fl in zip(images, flags)
+    )
 
 
 def wrong_pair_sources(class_id: jax.Array) -> jax.Array:
@@ -382,14 +425,14 @@ def make_train_step(
         )
 
     branch_num = int(cfg.TREE.BRANCH_NUM)
-    s2d = s2d_enabled(cfg)
+    s2d_flags = s2d_scale_flags(cfg)
+    any_s2d = any(s2d_flags)
 
     def train_step(state: GanTrainState, batch: dict, base_rng: jax.Array):
         images = expand_image_pyramid(
             normalize_images(batch["images"]), branch_num
         )
-        if s2d:
-            images = s2d_top_scale(images)
+        images = s2d_recode(images, s2d_flags)
         batch = dict(batch, images=images)
         rng = jax.random.fold_in(base_rng, state.step)
         rng_z, rng_ca = jax.random.split(rng)
@@ -428,7 +471,7 @@ def make_train_step(
                 {"params": g_params["g"], "batch_stats": state.g_stats["g"]},
                 z,
                 c,
-                s2d_out=s2d,  # top fake stays s2d: D256 + color loss eat it
+                s2d_out=any_s2d,  # flagged fakes stay s2d: Ds + color eat them
                 mutable=["batch_stats"],
             )
             new_stats["g"] = g_vars["batch_stats"]
@@ -500,13 +543,15 @@ def make_train_step(
             mets["kl"] = kl
             if color_coeff > 0 and len(fakes2) > 1:
                 color_in = list(fakes2)
-                if s2d:
+                for j, fl in enumerate(s2d_flags):
+                    if not fl:
+                        continue
                     # phase→width fold: [B,H,W,12] → [B,H,4W,3]; per-image
                     # channel stats are position-permutation-invariant, so
                     # the loss equals the interleaved-layout loss exactly
-                    t = color_in[-1]
+                    t = color_in[j]
                     b2, h2, w2, _ = t.shape
-                    color_in[-1] = t.reshape(b2, h2, w2, 4, 3).reshape(
+                    color_in[j] = t.reshape(b2, h2, w2, 4, 3).reshape(
                         b2, h2, w2 * 4, 3
                     )
                 closs = losses.color_consistency_loss(color_in)

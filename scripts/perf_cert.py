@@ -70,6 +70,9 @@ def _build_gan_runner(batch_size: int = 24, joint: bool = False, **cfg_overrides
     # training-recipe parity: every dataset YAML sets COLOR_LOSS=50, so the
     # certified step must carry the color-consistency term too
     cfg.TRAIN.COEFF.COLOR_LOSS = 50.0
+    # "auto" perf levers (GAN.S2D / GAN.D_TRUNK_BATCH) resolve from this;
+    # explicit cfg_overrides below still pin either one for A/Bs
+    cfg.TRAIN.BATCH_SIZE = batch_size
     if joint:
         cfg.TRAIN.JOINT_FT = True
         cfg.TRAIN.COEFF.DISTILL = 1.0  # cfg/birds_joint_ft.yml
@@ -649,13 +652,53 @@ def main():
             )
         )
     if args.what == "dtrunk":
+        # pin both sides: the tri-state default ("auto") resolves per batch
         out.extend(
             cert_gan_ab(
                 variants=[
-                    ("gan_b24_seq_d", 24, {}),
+                    ("gan_b24_seq_d", 24, {"GAN.D_TRUNK_BATCH": False}),
                     ("gan_b24_batched_d", 24, {"GAN.D_TRUNK_BATCH": True}),
-                    ("gan_b96_seq_d", 96, {}),
+                    ("gan_b96_seq_d", 96, {"GAN.D_TRUNK_BATCH": False}),
                     ("gan_b96_batched_d", 96, {"GAN.D_TRUNK_BATCH": True}),
+                ]
+            )
+        )
+    if args.what == "s2dmid":
+        # GAN.S2D_MID on top of the certified b24 default (S2D auto-on):
+        # does extending the recode to the 128² stage stack a further win?
+        out.extend(
+            cert_gan_ab(
+                variants=[
+                    ("gan_b24_s2d_top", 24, {}),
+                    ("gan_b24_s2d_topmid", 24, {"GAN.S2D_MID": True}),
+                    (
+                        "gan_b24_s2d_topmid_mbf16",
+                        24,
+                        {
+                            "GAN.S2D_MID": True,
+                            "TRAIN.MOMENT_DTYPE": "bfloat16",
+                        },
+                    ),
+                ]
+            )
+        )
+    if args.what == "b48":
+        # D_TRUNK_BATCH at the untested middle of its "auto" range (on
+        # below 96 rests on b24 +6.7% / b96 −1% only); S2D pinned off —
+        # it is already certified losing at b48.
+        out.extend(
+            cert_gan_ab(
+                variants=[
+                    (
+                        "gan_b48_dtb_off",
+                        48,
+                        {"GAN.S2D": False, "GAN.D_TRUNK_BATCH": False},
+                    ),
+                    (
+                        "gan_b48_dtb_on",
+                        48,
+                        {"GAN.S2D": False, "GAN.D_TRUNK_BATCH": True},
+                    ),
                 ]
             )
         )

@@ -74,3 +74,27 @@ def test_cli_resolution_precedence(tmp_path):
     assert c.DATA_DIR == "from_flag"  # flag beats yaml
     assert c.SEED == 9
     assert c.TRAIN.BATCH_SIZE == 3
+
+
+def test_tri_state_perf_levers():
+    """GAN.S2D / GAN.D_TRUNK_BATCH default "auto" and resolve from
+    TRAIN.BATCH_SIZE at step-build time (docs/PERF.md crossover A/Bs);
+    explicit bools pin them, via YAML merge and --set alike."""
+    from s2i_tpu.train import gan
+
+    c = config.default_cfg()
+    assert c.GAN.S2D == "auto" and c.GAN.D_TRUNK_BATCH == "auto"
+    c.TRAIN.BATCH_SIZE = 24
+    assert gan.s2d_enabled(c) and gan.d_trunk_batch_enabled(c)
+    c.TRAIN.BATCH_SIZE = 48
+    assert not gan.s2d_enabled(c) and gan.d_trunk_batch_enabled(c)
+    c.TRAIN.BATCH_SIZE = 96
+    assert not gan.s2d_enabled(c) and not gan.d_trunk_batch_enabled(c)
+    # bool pin overrides the batch heuristic in both directions
+    config.apply_overrides(c, ["GAN.S2D=true", "GAN.D_TRUNK_BATCH=true"])
+    assert gan.s2d_enabled(c) and gan.d_trunk_batch_enabled(c)
+    c2 = config.cfg_from_string("TRAIN:\n  BATCH_SIZE: 8\nGAN:\n  S2D: false\n")
+    assert not gan.s2d_enabled(c2)
+    # "auto" round-trips through dump/load and back over a bool
+    c3 = config.cfg_from_string("GAN:\n  S2D: auto\n", base=c2)
+    assert c3.GAN.S2D == "auto"

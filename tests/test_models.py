@@ -506,6 +506,39 @@ def test_gnet_s2d_top_matches_normal():
     )
 
 
+def test_gnet_s2d_mid_matches_normal():
+    """Full generator forward is invariant to GAN.S2D_MID (middle-stage s2d
+    recode; same param tree), alone and stacked with s2d_top."""
+    rng = np.random.default_rng(5)
+    z = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    g_n = GNet(gf_dim=8, branch_num=3, num_res=1, up_mode="transpose")
+    v = g_n.init(jax.random.key(2), z, c, train=False)
+    outs_n = g_n.apply(v, z, c, train=False)
+    for kwargs in ({"s2d_mid": True}, {"s2d_mid": True, "s2d_top": True}):
+        g_m = GNet(
+            gf_dim=8, branch_num=3, num_res=1, up_mode="transpose", **kwargs
+        )
+        outs_m = g_m.apply(v, z, c, train=False)
+        for a, b in zip(outs_m, outs_n):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )
+    # s2d_out=True returns the MID image in s2d layout, exactly
+    from s2i_tpu.models.layers import space_to_depth
+
+    g_m = GNet(gf_dim=8, branch_num=3, num_res=1, up_mode="transpose", s2d_mid=True)
+    outs_raw = g_m.apply(v, z, c, train=False, s2d_out=True)
+    np.testing.assert_allclose(
+        np.asarray(outs_raw[1]),
+        np.asarray(space_to_depth(outs_n[1])),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+    assert outs_raw[-1].shape == outs_n[-1].shape  # top untouched by S2D_MID
+
+
 def test_gnet_fused_upsample_matches_naive():
     """Full generator forward is invariant to GAN.UPSAMPLE_MODE (same param
     tree, checkpoint-switchable)."""

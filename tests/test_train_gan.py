@@ -304,6 +304,43 @@ def test_train_step_invariant_to_s2d():
     )
 
 
+def test_train_step_invariant_to_s2d_mid():
+    """One full fp32 train step with GAN.S2D_MID (middle-scale s2d recode)
+    — alone and stacked with GAN.S2D — equals the both-off step from the
+    same init (same SGD rationale as the s2d test)."""
+    outs = []
+    for s2d, mid in ((False, False), (False, True), (True, True)):
+        cfg = tiny_cfg(branch_num=3)
+        cfg.TRAIN.OPTIMIZER = "sgd"
+        cfg.GAN.S2D = s2d
+        cfg.GAN.S2D_MID = mid
+        models = gan.build_models(cfg)
+        _, batch = gan_batch(cfg)
+        state = gan.init_state(cfg, models, jax.random.key(0), batch)
+        step = jax.jit(gan.make_train_step(cfg, models))
+        state, metrics = step(state, batch, jax.random.key(1))
+        outs.append((state, metrics))
+    (s0, m0) = outs[0]
+    for s1, m1 in outs[1:]:
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=5e-5, atol=5e-5,
+            ),
+            (s0.g_params, s0.d_params, m0),
+            (s1.g_params, s1.d_params, m1),
+        )
+
+
+def test_s2d_mid_noop_with_two_branches():
+    """GAN.S2D_MID with TREE.BRANCH_NUM=2 must be a structural no-op: a
+    2-branch tree has no middle stage."""
+    cfg = tiny_cfg(branch_num=2)
+    cfg.GAN.S2D_MID = True
+    assert not gan.s2d_mid_enabled(cfg)
+    assert gan.s2d_scale_flags(cfg)[0] is False
+
+
 def test_s2d_noop_with_single_branch():
     """GAN.S2D with TREE.BRANCH_NUM=1 must be a structural no-op: the only
     image comes from the init stage (no s2d formulation exists there), so
@@ -327,8 +364,10 @@ def test_s2d_sampling_matches_normal():
     """GAN.S2D does not change the sampling path: same checkpoint, same
     images (standard layout) with the flag on or off."""
     cfg_n = tiny_cfg(branch_num=3)
+    cfg_n.GAN.S2D = False  # pin: the "auto" default resolves ON at tiny batch
     cfg_s = tiny_cfg(branch_num=3)
     cfg_s.GAN.S2D = True
+    cfg_s.GAN.S2D_MID = True
     models_n = gan.build_models(cfg_n)
     models_s = gan.build_models(cfg_s)
     _, batch = gan_batch(cfg_n)
