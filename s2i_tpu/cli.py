@@ -393,7 +393,10 @@ def run_encoder_pretrain(cfg, epochs: int | None = None) -> dict:
     if restored is not None:
         state, step0 = restored
         print(f"resumed from step {step0}")
-    logger = ScalarLogger(run_dir)
+    logger = ScalarLogger(
+        run_dir,
+        use_tensorboard=bool(getattr(cfg.TRAIN, "TENSORBOARD", False)),
+    )
     mesh = make_mesh_if_configured(cfg)
     if mesh is not None:
         from s2i_tpu.parallel import (

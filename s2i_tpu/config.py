@@ -115,6 +115,10 @@ def default_cfg() -> AttrDict:
                 # trace of steps ~5-10 written to this dir when non-empty.
                 "DEBUG_NANS": False,
                 "PROFILE_DIR": "",
+                # Mirror JSONL scalars into TensorBoard event files under
+                # <run_dir>/tb (the reference's tensorboard logging; JSONL
+                # stays the primary sink either way).
+                "TENSORBOARD": False,
                 # Polyak-averaged copy of G used for snapshots/sampling
                 # (StackGAN-v2 lineage keeps avg_param_G with decay 0.999);
                 # 0 disables.
@@ -163,9 +167,10 @@ def default_cfg() -> AttrDict:
                 # of a 3-branch tree): that stage's G up-block/to-RGB and its
                 # D's first conv run in s2d layout; one depth_to_space layout
                 # op feeds the next stage interleaved. Exact math, same
-                # params (tests). Tri-state like S2D ("auto": on below batch
-                # 32). Default off until the on-chip A/B certifies a win
-                # (docs/PERF.md).
+                # params (tests). On-chip A/B (docs/PERF.md round 3):
+                # −2.2% at b24 — the zero-expanded first-conv MACs outweigh
+                # the 4×-smaller 128² HBM chains, so this stays OFF ("auto"
+                # == off; explicit True pins it on for experiments).
                 "S2D_MID": False,
                 "NETWORK_TYPE": "default",
                 "B_CONDITION": True,

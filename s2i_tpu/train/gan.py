@@ -71,10 +71,14 @@ def s2d_mid_enabled(cfg) -> bool:
     """GAN.S2D_MID: extend the s2d recode to the MIDDLE scales (e.g. 128² of
     a 3-branch tree) — their G up-block/to-RGB and D first conv run in s2d
     layout; one depth_to_space layout op feeds the next stage interleaved.
-    Needs at least one middle stage (branch_num ≥ 3). Tri-state like GAN.S2D;
-    "auto" follows the same batch threshold (on below 32)."""
-    on = _resolve_lever(getattr(cfg.GAN, "S2D_MID", False), cfg, on_below=32)
-    return on and int(cfg.TREE.BRANCH_NUM) >= 3
+    Needs at least one middle stage (branch_num ≥ 3). On-chip A/B measured
+    it a LOSS (−2.2% at b24, docs/PERF.md: the zero-expanded first-conv
+    MACs outweigh the 4×-smaller 128² chains), so "auto" resolves to OFF at
+    every batch; an explicit True pins it on (exact math either way)."""
+    val = getattr(cfg.GAN, "S2D_MID", False)
+    if isinstance(val, str) and val.lower() == "auto":
+        return False
+    return bool(val) and int(cfg.TREE.BRANCH_NUM) >= 3
 
 
 def s2d_scale_flags(cfg) -> tuple:

@@ -49,7 +49,10 @@ class GanTrainer:
 
         os.makedirs(output_dir, exist_ok=True)
         self.ckpt = CheckpointManager(os.path.join(output_dir, "ckpt"))
-        self.logger = ScalarLogger(output_dir)
+        self.logger = ScalarLogger(
+            output_dir,
+            use_tensorboard=bool(getattr(cfg.TRAIN, "TENSORBOARD", False)),
+        )
 
         first = next(iter(batch_factory(0)))
         self._viz_batch = first

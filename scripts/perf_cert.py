@@ -530,7 +530,7 @@ def main():
         "--what",
         choices=[
             "gan", "mel", "both", "ab", "parts", "batch", "dtrunk", "cvjp",
-            "enc", "joint", "s2d", "moments", "stack",
+            "enc", "joint", "s2d", "moments", "stack", "s2dmid", "b48",
         ],
         default="both",
     )

@@ -31,10 +31,9 @@ def capture(out_dir: str, steps: int, batch_size: int = 24) -> None:
 
     cfg = config.default_cfg()
     cfg.DTYPE.COMPUTE = "bfloat16"
-    if batch_size >= 96:
-        # headline b96 config (docs/PERF.md): both small-batch levers off
-        cfg.GAN.D_TRUNK_BATCH = False
-        cfg.GAN.S2D = False
+    # GAN.S2D / GAN.D_TRUNK_BATCH default "auto": profile the program the
+    # trainer would actually run at this batch size (docs/PERF.md)
+    cfg.TRAIN.BATCH_SIZE = batch_size
     models = gan.build_models(cfg)
     ds = SyntheticGanDataset(num_classes=8, examples_per_class=3)
     batch = jax.tree.map(

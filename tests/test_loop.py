@@ -92,6 +92,27 @@ def test_scalars_jsonl_schema(tmp_path):
 
 
 @pytest.mark.slow
+def test_tensorboard_mirror(tmp_path):
+    """TRAIN.TENSORBOARD mirrors the JSONL scalars into event files under
+    <run>/tb (the reference's tensorboard logging, SURVEY.md §5)."""
+    pytest.importorskip("tensorflow")
+    from s2i_tpu.utils import ScalarLogger
+
+    out = str(tmp_path / "run")
+    lg = ScalarLogger(out, use_tensorboard=True)
+    lg.log(1, {"g_loss": 1.5})
+    lg.log(2, {"g_loss": 1.25})
+    lg.close()
+    tb = os.path.join(out, "tb")
+    assert os.path.isdir(tb) and any(
+        "tfevents" in f for f in os.listdir(tb)
+    )
+    assert json.loads(
+        open(os.path.join(out, "scalars.jsonl")).read().splitlines()[-1]
+    )["g_loss"] == 1.25
+
+
+@pytest.mark.slow
 def test_cli_smoke(tmp_path):
     """main.py end-to-end in a subprocess on the CPU backend."""
     env = dict(os.environ)
