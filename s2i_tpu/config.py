@@ -131,6 +131,12 @@ def default_cfg() -> AttrDict:
                 "EMBEDDING_DIM": 128,  # CA-net condition dim
                 "R_NUM": 2,  # residual blocks per next-stage
                 "REMAT": False,  # rematerialize G stages in backward
+                # What REMAT may save: "none" = classic full remat (stages
+                # recompute everything, +13% step FLOPs at b192);
+                # "conv" = save conv/matmul outputs, recompute only the
+                # elementwise BN/GLU chains (cheap FLOPs, most of the
+                # activation memory still freed). See models/generator.py.
+                "REMAT_POLICY": "none",
                 # Upsample-conv formulation in G's up-blocks: "naive" |
                 # "fused" | "fused4" | "transpose" | "transpose_cvjp"
                 # (custom input-gradient that avoids XLA's 100 MB spatial

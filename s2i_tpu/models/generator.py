@@ -120,6 +120,14 @@ class GNet(nn.Module):
     # Rematerialize each stage in the backward pass (cfg.GAN.REMAT): trades
     # recompute FLOPs for HBM activation traffic — enables larger batches.
     remat: bool = False
+    # cfg.GAN.REMAT_POLICY — what the remat'd stages may SAVE:
+    #   "none": save nothing (classic full remat; +13% step FLOPs at b192,
+    #           docs/PERF.md batch sweep — the convs recompute too);
+    #   "conv": save conv/matmul outputs, recompute only the elementwise
+    #           BN/GLU/upsample chains (cheap FLOPs; they are the bulk of the
+    #           saved activations since each up-block holds 3 similar-size
+    #           intermediates of which only the conv out survives).
+    remat_policy: str = "none"
     # Upsample-conv formulation (cfg.GAN.UPSAMPLE_MODE, see UpConv3x3);
     # all modes are checkpoint-compatible with each other. "transpose"
     # measured fastest on v5e (docs/PERF.md A/B).
@@ -151,8 +159,21 @@ class GNet(nn.Module):
 
         init_cls, next_cls = InitStageG, NextStageG
         if self.remat:
-            init_cls = nn.remat(InitStageG, static_argnums=(3,))
-            next_cls = nn.remat(NextStageG, static_argnums=(3,))
+            policy = None
+            if self.remat_policy == "conv":
+                # Saveable set = the MXU ops (convs + the init fc). Everything
+                # else in a stage is elementwise/BN plumbing whose recompute
+                # is nearly free next to a conv recompute.
+                def policy(prim, *_, **__):  # noqa: ANN001
+                    return prim.name in ("conv_general_dilated", "dot_general")
+
+            elif self.remat_policy != "none":
+                raise ValueError(
+                    f"GAN.REMAT_POLICY must be 'none'|'conv', got "
+                    f"{self.remat_policy!r}"
+                )
+            init_cls = nn.remat(InitStageG, static_argnums=(3,), policy=policy)
+            next_cls = nn.remat(NextStageG, static_argnums=(3,), policy=policy)
         imgs = []
         h = init_cls(
             self.gf_dim * 16,

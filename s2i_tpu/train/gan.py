@@ -103,6 +103,7 @@ def build_models(
         dtype=dtype,
         axis_name=axis_name,
         remat=bool(cfg.GAN.REMAT),
+        remat_policy=str(getattr(cfg.GAN, "REMAT_POLICY", "none")),
         up_mode=str(getattr(cfg.GAN, "UPSAMPLE_MODE", "naive")),
         s2d_top=s2d_enabled(cfg),
         s2d_mid=s2d_mid_enabled(cfg),

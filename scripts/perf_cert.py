@@ -531,6 +531,7 @@ def main():
         choices=[
             "gan", "mel", "both", "ab", "parts", "batch", "dtrunk", "cvjp",
             "enc", "joint", "s2d", "moments", "stack", "s2dmid", "b48",
+            "bigbatch",
         ],
         default="both",
     )
@@ -698,6 +699,31 @@ def main():
                         "gan_b48_dtb_on",
                         48,
                         {"GAN.S2D": False, "GAN.D_TRUNK_BATCH": True},
+                    ),
+                ]
+            )
+        )
+    if args.what == "bigbatch":
+        # The unexplored top of the batch sweep: b96 (certified sweet spot)
+        # vs the untested b112/b128 points, plus selective-policy remat
+        # (GAN.REMAT_POLICY="conv": save conv outputs, recompute only the
+        # elementwise chains — full remat's +13% FLOPs was the b192 killer).
+        # OOM at any point is caught per-variant and reported.
+        out.extend(
+            cert_gan_ab(
+                variants=[
+                    ("gan_b96_ref", 96, {}),
+                    ("gan_b112", 112, {}),
+                    ("gan_b128", 128, {}),
+                    (
+                        "gan_b128_remat_conv",
+                        128,
+                        {"GAN.REMAT": True, "GAN.REMAT_POLICY": "conv"},
+                    ),
+                    (
+                        "gan_b192_remat_conv",
+                        192,
+                        {"GAN.REMAT": True, "GAN.REMAT_POLICY": "conv"},
                     ),
                 ]
             )

@@ -273,19 +273,40 @@ def test_parallel_encoder_step():
         np.testing.assert_array_equal(shards[0], s)
 
 
-def test_gnet_remat_matches_no_remat():
+@pytest.mark.parametrize("policy", ["none", "conv"])
+def test_gnet_remat_matches_no_remat(policy):
+    """GAN.REMAT is a pure wrapper: identical outputs AND parameter
+    gradients for both save-nothing ("none") and save-conv-outputs
+    ("conv") checkpoint policies."""
     from s2i_tpu.models import GNet
     import jax.numpy as jnp
 
-    z = jnp.ones((2, 16))
-    c = jnp.ones((2, 16))
+    z = jax.random.normal(jax.random.key(1), (2, 16))
+    c = jax.random.normal(jax.random.key(2), (2, 16))
     g1 = GNet(gf_dim=8, branch_num=2, remat=False)
-    g2 = GNet(gf_dim=8, branch_num=2, remat=True)
+    g2 = GNet(gf_dim=8, branch_num=2, remat=True, remat_policy=policy)
     v = g1.init(jax.random.key(0), z, c)
     out1 = g1.apply(v, z, c, train=False)
     out2 = g2.apply(v, z, c, train=False)  # same params work (remat is a wrapper)
     np.testing.assert_allclose(
         np.asarray(out1[-1]), np.asarray(out2[-1]), atol=1e-6
+    )
+
+    def loss(g, params):
+        outs, _ = g.apply(
+            {**v, "params": params}, z, c, train=True,
+            mutable=["batch_stats"],
+        )
+        return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+
+    grad1 = jax.grad(lambda p: loss(g1, p))(v["params"])
+    grad2 = jax.grad(lambda p: loss(g2, p))(v["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        ),
+        grad1,
+        grad2,
     )
 
 

@@ -224,8 +224,10 @@ def test_build_models_threads_upsample_mode():
     cfg = config.default_cfg()
     cfg.GAN.UPSAMPLE_MODE = "fused4"
     cfg.GAN.REMAT = True
+    cfg.GAN.REMAT_POLICY = "conv"
     models = gan.build_models(cfg)
     assert models.g.up_mode == "fused4" and models.g.remat
+    assert models.g.remat_policy == "conv"
 
     cfg2 = config.default_cfg()
     cfg2.GAN.UPSAMPLE_MODE = "transpose"
