@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import functools
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -457,11 +459,37 @@ if __name__ == "__main__":
         "data": bench_data,
     }[cli_args.metric]
     # The relay's remote-compile service occasionally drops a response
-    # mid-body (INTERNAL error); one retry after a cool-down recovers it.
-    try:
-        fn()
-    except Exception as e:  # noqa: BLE001 — transient relay errors
-        print(f"# bench attempt 1 failed ({type(e).__name__}: {e}); retrying",
-              flush=True)
-        _time.sleep(30)
-        fn()
+    # mid-body (INTERNAL error), and after an abnormally-terminated client
+    # the pool can refuse new sessions ("Unable to initialize backend
+    # 'axon': UNAVAILABLE") for tens of minutes. Retry with a longer
+    # cool-down for the backend-unavailable case — a failed init attempt
+    # is cached for the life of the process, so each retry must also be
+    # the first jax backend touch (fn() imports jax lazily; if the cache
+    # already poisoned this process, re-exec into a fresh interpreter).
+    attempts = [0, 30, 300, 600]
+    first = int(os.environ.get("S2I_BENCH_ATTEMPT", "0"))
+    for i, cooldown in enumerate(attempts):
+        if i < first:
+            continue
+        _time.sleep(cooldown)
+        try:
+            fn()
+            break
+        except RuntimeError as e:
+            last = i == len(attempts) - 1
+            print(
+                f"# bench attempt {i + 1} failed "
+                f"({type(e).__name__}: {e})" + ("" if last else "; retrying"),
+                flush=True,
+            )
+            if last:
+                raise
+            if "nable to initialize backend" in str(e):
+                # backend-init failure is cached per-process: re-exec
+                os.environ["S2I_BENCH_ATTEMPT"] = str(i + 1)
+                os.execv(sys.executable, [sys.executable] + sys.argv)
+        except Exception as e:  # noqa: BLE001 — transient relay errors
+            if i == len(attempts) - 1:
+                raise
+            print(f"# bench attempt {i + 1} failed "
+                  f"({type(e).__name__}: {e}); retrying", flush=True)

@@ -273,18 +273,24 @@ def test_parallel_encoder_step():
         np.testing.assert_array_equal(shards[0], s)
 
 
-@pytest.mark.parametrize("policy", ["none", "conv"])
-def test_gnet_remat_matches_no_remat(policy):
+@pytest.mark.parametrize(
+    "policy,s2d",
+    [("none", False), ("conv", False), ("conv", True)],
+)
+def test_gnet_remat_matches_no_remat(policy, s2d):
     """GAN.REMAT is a pure wrapper: identical outputs AND parameter
     gradients for both save-nothing ("none") and save-conv-outputs
-    ("conv") checkpoint policies."""
+    ("conv") checkpoint policies — including composed with the
+    space-to-depth top-scale recode (the b<32 production config)."""
     from s2i_tpu.models import GNet
     import jax.numpy as jnp
 
     z = jax.random.normal(jax.random.key(1), (2, 16))
     c = jax.random.normal(jax.random.key(2), (2, 16))
-    g1 = GNet(gf_dim=8, branch_num=2, remat=False)
-    g2 = GNet(gf_dim=8, branch_num=2, remat=True, remat_policy=policy)
+    g1 = GNet(gf_dim=8, branch_num=2, remat=False, s2d_top=s2d)
+    g2 = GNet(
+        gf_dim=8, branch_num=2, remat=True, remat_policy=policy, s2d_top=s2d
+    )
     v = g1.init(jax.random.key(0), z, c)
     out1 = g1.apply(v, z, c, train=False)
     out2 = g2.apply(v, z, c, train=False)  # same params work (remat is a wrapper)
