@@ -285,21 +285,18 @@ def bench_data() -> None:
             return best
 
         def rate_pil(reps: int = 3) -> float:
+            # The REAL fallback the trainer runs on native-decode failure
+            # (stackgan.pil_load_transform, production defaults: uint8,
+            # random crop+flip, top scale only — SHIP_SCALES="top" derives
+            # the pyramid on device), not a reimplementation.
+            from s2i_tpu.data.stackgan import pil_load_transform
+
             best = 0.0
             for r in range(reps):
+                prng = np.random.default_rng(r)
                 t0 = _t.perf_counter()
                 for p in paths:
-                    im = Image.open(p).convert("RGB").resize(
-                        (288, 288), Image.BILINEAR
-                    )
-                    im = im.crop((16, 16, 272, 272))
-                    a256 = np.asarray(im, np.uint8)
-                    a128 = np.asarray(
-                        im.resize((128, 128), Image.BILINEAR), np.uint8
-                    )
-                    _ = np.asarray(
-                        im.resize((64, 64), Image.BILINEAR), np.uint8
-                    )
+                    pil_load_transform(p, 256, rng=prng, dtype="uint8")
                 dt = _t.perf_counter() - t0
                 best = max(best, n_img / dt)
             return best

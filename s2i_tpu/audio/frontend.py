@@ -220,6 +220,33 @@ def normalize_features(
     return out
 
 
+_FUSED_PROBE: dict[tuple, bool] = {}
+
+
+def _fused_kernel_compiles(shape, dtype, p: FrontendParams) -> bool:
+    """One-time per-(shape, geometry) probe: can the fused Pallas kernel
+    actually LOWER on this backend? Compiles it standalone via AOT
+    (``jit(...).lower(...).compile()`` on ShapeDtypeStructs — no device
+    data, legal even while an outer function is being traced) and caches
+    the verdict. A Python-side ValueError pre-check rejection also lands
+    here as False, so the auto path never hard-fails on a valid cfg."""
+    key = (tuple(shape), str(dtype), p)
+    hit = _FUSED_PROBE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        from s2i_tpu.ops import mel_kernel
+
+        jax.jit(
+            lambda w: mel_kernel.logmel_pallas_fused(w, p)
+        ).lower(jax.ShapeDtypeStruct(shape, dtype)).compile()
+        ok = True
+    except Exception:  # noqa: BLE001 — ValueError pre-check or Mosaic reject
+        ok = False
+    _FUSED_PROBE[key] = ok
+    return ok
+
+
 def extract_features(
     wav: jax.Array,
     p: FrontendParams,
@@ -239,8 +266,18 @@ def extract_features(
     zero-padded batches) tightens the validity mask so padding frames are
     excluded from normalization and downstream pooling.
     """
-    if use_pallas is None:
+    auto = use_pallas is None
+    if auto:
         use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and auto:
+        # Mosaic rejects some block shapes only at LOWERING time (see
+        # CLAUDE.md), which surfaces when the ENCLOSING jit compiles —
+        # after tracing, outside the try/except below. The auto path
+        # therefore AOT-compiles the kernel standalone once per
+        # (geometry, wav shape) and falls back to jnp if the backend
+        # refuses; an explicit use_pallas=True skips the probe and lets
+        # the error surface (the caller asked for the kernel).
+        use_pallas = _fused_kernel_compiles(wav.shape, wav.dtype, p)
     if use_pallas:
         from s2i_tpu.ops import mel_kernel
 

@@ -121,40 +121,64 @@ class StackGanSplit:
         """[imsize, imsize, 3] with the StackGAN transform. ``float32`` →
         [-1,1]; ``uint8`` → raw [0,255] for device-side normalization
         (DATA.IMAGE_DTYPE: 4x fewer host→device bytes)."""
-        from PIL import Image
-
-        img = Image.open(self.image_path(i)).convert("RGB")
+        bbox = None
         if self.bboxes is not None:
-            key = self.filenames[i]
-            if key in self.bboxes:
-                x, y, w, h = self.bboxes[key]
-                cx, cy = x + w / 2.0, y + h / 2.0
-                r = int(np.maximum(w, h) * 0.75)  # 1.5× margin half-width
-                x1 = max(0, int(cx - r))
-                y1 = max(0, int(cy - r))
-                x2 = min(img.width, int(cx + r))
-                y2 = min(img.height, int(cy + r))
-                img = img.crop((x1, y1, x2, y2))
-        load_size = int(imsize * 76 / 64)
-        img = img.resize((load_size, load_size), Image.BILINEAR)
-        if dtype == "uint8":
-            arr = np.asarray(img, dtype=np.uint8)
-        else:
-            arr = np.asarray(img, dtype=np.float32) / 127.5 - 1.0
-        if flip_and_crop and rng is not None:
-            ox = int(rng.integers(0, load_size - imsize + 1))
-            oy = int(rng.integers(0, load_size - imsize + 1))
-            arr = arr[oy : oy + imsize, ox : ox + imsize]
-            if rng.random() < 0.5:
-                arr = arr[:, ::-1]
-        else:
-            off = (load_size - imsize) // 2
-            arr = arr[off : off + imsize, off : off + imsize]
-        return np.ascontiguousarray(arr)
+            bbox = self.bboxes.get(self.filenames[i])
+        return pil_load_transform(
+            self.image_path(i),
+            imsize,
+            rng=rng,
+            bbox=bbox,
+            flip_and_crop=flip_and_crop,
+            dtype=dtype,
+        )
 
     def load_wav(self, i: int, cap: int, sample_rate: int) -> np.ndarray:
         x, sr = read_wav(self.wav_path(i, cap))
         return resample_linear(x, sr, sample_rate)
+
+
+def pil_load_transform(
+    path: str,
+    imsize: int,
+    rng: np.random.Generator | None = None,
+    bbox=None,
+    flip_and_crop: bool = True,
+    dtype: str = "float32",
+) -> np.ndarray:
+    """The StackGAN PIL load+transform (the native C++ loader's fallback
+    path): optional 1.5×-margin bbox crop → resize to 76/64·imsize →
+    random crop + horizontal flip (or center crop). Module-level so the
+    host-path benchmark (bench.py --metric data) measures EXACTLY the
+    code the trainer falls back to, not a reimplementation."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if bbox is not None:
+        x, y, w, h = bbox
+        cx, cy = x + w / 2.0, y + h / 2.0
+        r = int(np.maximum(w, h) * 0.75)  # 1.5× margin half-width
+        x1 = max(0, int(cx - r))
+        y1 = max(0, int(cy - r))
+        x2 = min(img.width, int(cx + r))
+        y2 = min(img.height, int(cy + r))
+        img = img.crop((x1, y1, x2, y2))
+    load_size = int(imsize * 76 / 64)
+    img = img.resize((load_size, load_size), Image.BILINEAR)
+    if dtype == "uint8":
+        arr = np.asarray(img, dtype=np.uint8)
+    else:
+        arr = np.asarray(img, dtype=np.float32) / 127.5 - 1.0
+    if flip_and_crop and rng is not None:
+        ox = int(rng.integers(0, load_size - imsize + 1))
+        oy = int(rng.integers(0, load_size - imsize + 1))
+        arr = arr[oy : oy + imsize, ox : ox + imsize]
+        if rng.random() < 0.5:
+            arr = arr[:, ::-1]
+    else:
+        off = (load_size - imsize) // 2
+        arr = arr[off : off + imsize, off : off + imsize]
+    return np.ascontiguousarray(arr)
 
 
 def multiscale(img: np.ndarray, branch_num: int, base_size: int = 64) -> list[np.ndarray]:

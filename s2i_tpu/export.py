@@ -159,6 +159,13 @@ class LoadedPipeline:
         """wavs [B, n] → images; pads/crops wavs to the exported length and
         B up to the smallest exported batch ≥ B (trimming the output).
 
+        Requests that fit one exported batch run one program call with
+        ``seed`` and are bit-equal to the live pipeline at that batch.
+        Larger requests split into chunks of the biggest exported batch;
+        each chunk runs with ``seed + chunk_index`` so every row draws a
+        distinct latent (a single shared seed would repeat the same z
+        block per chunk and collapse sample diversity).
+
         ``stage``/``output_dtype`` are baked into the artifact; passing a
         conflicting value raises rather than silently serving the wrong
         resolution."""
@@ -186,7 +193,7 @@ class LoadedPipeline:
         fits = [bb for bb in self.batch_sizes if bb >= b]
         bb = fits[0] if fits else self.batch_sizes[-1]
         outs = []
-        for start in range(0, b, bb):
+        for ci, start in enumerate(range(0, b, bb)):
             chunk = buf[start : start + bb]
             lens = wav_lens[start : start + bb]
             nb = chunk.shape[0]
@@ -200,7 +207,7 @@ class LoadedPipeline:
             img = self._programs[bb].call(
                 jnp.asarray(chunk),
                 jnp.asarray(lens),
-                jnp.asarray(seed, jnp.int32),
+                jnp.asarray(seed + ci, jnp.int32),
             )
             outs.append(np.asarray(img)[:nb])
         return np.concatenate(outs, axis=0)

@@ -60,21 +60,34 @@ class Batcher:
         self.max_samples = (p.max_frames - 1) * p.hop_length + p.win_length
         self._q: queue.Queue[_Job] = queue.Queue(maxsize=max_pending)
         self._closed = threading.Event()
+        # Serializes the closed-check+put in submit against close's
+        # closed-set: without it a submit that passed the check could land
+        # its job AFTER close drained the queue — enqueued but never
+        # collated nor failed, blocking its waiter for the full HTTP
+        # timeout instead of getting the shutdown error.
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def submit(self, wav: np.ndarray) -> _Job:
-        if self._closed.is_set():
-            raise RuntimeError("batcher is shut down")
         job = _Job(wav, min(len(wav), self.max_samples))
-        self._q.put_nowait(job)  # raises queue.Full when saturated
+        with self._submit_lock:
+            if self._closed.is_set():
+                raise RuntimeError("batcher is shut down")
+            self._q.put_nowait(job)  # raises queue.Full when saturated
         return job
 
     def close(self, timeout: float = 60.0) -> None:
-        """Idempotent: reject new work, drain the queue, join the thread."""
-        if self._closed.is_set():
-            return
-        self._closed.set()
+        """Idempotent: reject new work, drain the queue, join the thread.
+        Every job enqueued before close is either processed by the
+        collator or failed by the drain below (the submit lock guarantees
+        no job lands after the drain); if the thread outlives ``timeout``
+        (e.g. mid first-compile) it still finishes its in-flight batch,
+        then sees ``_closed`` and exits."""
+        with self._submit_lock:
+            if self._closed.is_set():
+                return
+            self._closed.set()
         self._thread.join(timeout)
         while True:  # fail anything the collator never picked up
             try:

@@ -38,14 +38,58 @@ class GanModels(NamedTuple):
     encoder: SpeechEncoder | None = None  # set in joint-finetune mode
 
 
-def _resolve_lever(value, cfg, on_below: int) -> bool:
+# "auto" crossover thresholds (single-chip A/Bs, docs/PERF.md): the lever
+# wins only while the PER-DEVICE kernels are under-full.
+S2D_ON_BELOW = 32
+D_TRUNK_ON_BELOW = 96
+
+
+def _lever_value(value, what: str):
+    """Validate a tri-state lever: bool | "auto" (case-insensitive).
+    Any other string is a config typo ("enabled", "aut0", "auto ") that
+    bool() would silently pin ON — raise instead."""
+    if isinstance(value, str):
+        if value.lower() == "auto":
+            return "auto"
+        raise ValueError(
+            f"GAN.{what} must be a bool or 'auto', got {value!r}"
+        )
+    return bool(value)
+
+
+def _resolve_lever(value, cfg, on_below: int, what: str) -> bool:
     """Resolve a tri-state perf lever ("auto" | bool): "auto" turns the
     lever on when TRAIN.BATCH_SIZE < `on_below` — the on-chip A/Bs
     (docs/PERF.md) show these formulations win only while the per-step
-    kernels are under-full; past the crossover batch they lose."""
-    if isinstance(value, str) and value.lower() == "auto":
+    kernels are under-full; past the crossover batch they lose.
+
+    NOTE: this reads the batch size in `cfg` as the per-device batch. For
+    mesh runs, call `resolve_perf_levers(cfg, n_devices)` FIRST — it
+    freezes the "auto" levers from BATCH_SIZE/n_devices (what each chip's
+    kernels actually see); `GanTrainer` does this automatically."""
+    value = _lever_value(value, what)
+    if value == "auto":
         return int(cfg.TRAIN.BATCH_SIZE) < on_below
-    return bool(value)
+    return value
+
+
+def resolve_perf_levers(cfg, n_devices: int = 1) -> None:
+    """Freeze the tri-state perf levers into booleans IN PLACE using the
+    per-device batch (global TRAIN.BATCH_SIZE // n_devices). The crossover
+    thresholds come from single-chip A/Bs, so on a data mesh the batch each
+    device runs — not the global batch — decides whether the under-full
+    formulations (S2D, D_TRUNK_BATCH) pay: an 8-chip b96 run executes b12
+    kernels per chip and wants both levers ON."""
+    per_dev = max(1, int(cfg.TRAIN.BATCH_SIZE) // max(1, int(n_devices)))
+    for key, on_below in (
+        ("S2D", S2D_ON_BELOW),
+        ("D_TRUNK_BATCH", D_TRUNK_ON_BELOW),
+    ):
+        v = _lever_value(getattr(cfg.GAN, key, False), key)
+        cfg.GAN[key] = per_dev < on_below if v == "auto" else v
+    v = _lever_value(getattr(cfg.GAN, "S2D_MID", False), "S2D_MID")
+    # S2D_MID measured a loss at every batch (docs/PERF.md): "auto" = off.
+    cfg.GAN["S2D_MID"] = False if v == "auto" else v
 
 
 def s2d_enabled(cfg) -> bool:
@@ -55,7 +99,9 @@ def s2d_enabled(cfg) -> bool:
     s2d formulation — the flag is a structural no-op there, so gate it off
     everywhere consistently (G, Ds, real-pyramid recode). "auto" (default)
     enables it below batch 32: measured +8.9% at b24, −7.8% at b48."""
-    on = _resolve_lever(getattr(cfg.GAN, "S2D", False), cfg, on_below=32)
+    on = _resolve_lever(
+        getattr(cfg.GAN, "S2D", False), cfg, S2D_ON_BELOW, "S2D"
+    )
     return on and int(cfg.TREE.BRANCH_NUM) > 1
 
 
@@ -63,7 +109,10 @@ def d_trunk_batch_enabled(cfg) -> bool:
     """GAN.D_TRUNK_BATCH tri-state ("auto" resolves on below batch 96:
     measured +6.7% at b24, ~−1% at b96)."""
     return _resolve_lever(
-        getattr(cfg.GAN, "D_TRUNK_BATCH", False), cfg, on_below=96
+        getattr(cfg.GAN, "D_TRUNK_BATCH", False),
+        cfg,
+        D_TRUNK_ON_BELOW,
+        "D_TRUNK_BATCH",
     )
 
 
@@ -75,10 +124,10 @@ def s2d_mid_enabled(cfg) -> bool:
     it a LOSS (−2.2% at b24, docs/PERF.md: the zero-expanded first-conv
     MACs outweigh the 4×-smaller 128² chains), so "auto" resolves to OFF at
     every batch; an explicit True pins it on (exact math either way)."""
-    val = getattr(cfg.GAN, "S2D_MID", False)
-    if isinstance(val, str) and val.lower() == "auto":
+    val = _lever_value(getattr(cfg.GAN, "S2D_MID", False), "S2D_MID")
+    if val == "auto":
         return False
-    return bool(val) and int(cfg.TREE.BRANCH_NUM) >= 3
+    return val and int(cfg.TREE.BRANCH_NUM) >= 3
 
 
 def s2d_scale_flags(cfg) -> tuple:

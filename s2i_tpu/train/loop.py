@@ -41,6 +41,14 @@ class GanTrainer:
         self.log_every = log_every
         self.image_every = image_every
         joint = bool(cfg.TRAIN.JOINT_FT)
+        # Freeze the "auto" perf levers from the PER-DEVICE batch before any
+        # model/step is built: the crossover A/Bs behind the thresholds are
+        # single-chip measurements, so an 8-chip global-b96 run (b12 kernels
+        # per chip) wants the under-full formulations ON.
+        n_mesh = (
+            int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+        )
+        gan.resolve_perf_levers(cfg, n_mesh)
         self.models = gan.build_models(
             cfg,
             axis_name=str(cfg.MESH.DATA_AXIS) if mesh is not None else None,
@@ -110,6 +118,13 @@ class GanTrainer:
             "backend": jax.default_backend(),
             "n_devices": len(jax.devices()),
             "mesh": dict(self.mesh.shape) if self.mesh is not None else None,
+            # resolved (post-"auto") perf levers, for provenance — the
+            # config.yml dump happens before per-device resolution
+            "perf_levers": {
+                "S2D": bool(self.cfg.GAN.S2D),
+                "S2D_MID": bool(self.cfg.GAN.S2D_MID),
+                "D_TRUNK_BATCH": bool(self.cfg.GAN.D_TRUNK_BATCH),
+            },
             "params": {
                 "generator+ca": count(
                     {k: v for k, v in self.state.g_params.items() if k != "enc"}

@@ -39,9 +39,20 @@ def retrieval_main(args):
         return e.reshape(-1, e.shape[-1]), np.arange(e.shape[0])
 
     (q, qid), (t, tid) = load(args.retrieval[0]), load(args.retrieval[1])
-    n = min(len(q), len(t))
+    # Align by GROUP id (image index), not by row count: a [N,10,D] speech
+    # pickle against an [N,D] image pickle has 10N vs N rows — row-level
+    # truncation would strand target groups with zero positive queries and
+    # crash the t2q direction. Keeping the common id range keeps every
+    # query group matched with its targets in both directions.
+    n_groups = min(int(qid.max()), int(tid.max())) + 1
+    qm, tm = qid < n_groups, tid < n_groups
+    if not (qm.all() and tm.all()):
+        print(
+            f"# group counts differ: keeping the common first {n_groups} "
+            f"({int(qm.sum())} query rows, {int(tm.sum())} target rows)"
+        )
     m = retrieval_metrics(
-        q[:n], t[:n], query_ids=qid[:n], target_ids=tid[:n]
+        q[qm], t[tm], query_ids=qid[qm], target_ids=tid[tm]
     )
     import json
 

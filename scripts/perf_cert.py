@@ -571,7 +571,9 @@ def main():
         out.extend(
             cert_gan_ab(
                 variants=[
-                    ("gan_b24_baseline", 24, {}),
+                    # pin both sides: the tri-state default ("auto")
+                    # resolves S2D ON at b24, so {} is NOT the off-baseline
+                    ("gan_b24_baseline", 24, {"GAN.S2D": False}),
                     ("gan_b24_s2d", 24, {"GAN.S2D": True}),
                     ("gan_b96_baseline", 96, {"GAN.D_TRUNK_BATCH": False}),
                     (
@@ -623,7 +625,9 @@ def main():
                     (
                         "gan_b48_s2d",
                         48,
-                        {"GAN.D_TRUNK_BATCH": False},
+                        # "auto" resolves S2D OFF at b48 — pin it ON or this
+                        # row silently re-measures gan_b48_base
+                        {"GAN.S2D": True, "GAN.D_TRUNK_BATCH": False},
                     ),
                     (
                         "gan_b96_base",

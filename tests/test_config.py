@@ -98,3 +98,46 @@ def test_tri_state_perf_levers():
     # "auto" round-trips through dump/load and back over a bool
     c3 = config.cfg_from_string("GAN:\n  S2D: auto\n", base=c2)
     assert c3.GAN.S2D == "auto"
+
+
+def test_resolve_perf_levers_per_device_batch():
+    """On a data mesh the "auto" levers resolve from the PER-DEVICE batch
+    (the crossover A/Bs are single-chip): 8-way global b96 runs b12
+    kernels per chip and wants S2D + D_TRUNK_BATCH ON."""
+    from s2i_tpu.train import gan
+
+    c = config.default_cfg()
+    c.TRAIN.BATCH_SIZE = 96
+    gan.resolve_perf_levers(c, n_devices=8)
+    assert c.GAN.S2D is True and c.GAN.D_TRUNK_BATCH is True
+    assert c.GAN.S2D_MID is False  # "auto" = off at every batch
+
+    c = config.default_cfg()
+    c.TRAIN.BATCH_SIZE = 96
+    gan.resolve_perf_levers(c, n_devices=1)
+    assert c.GAN.S2D is False and c.GAN.D_TRUNK_BATCH is False
+
+    # explicit bool pins survive resolution
+    c = config.default_cfg()
+    c.TRAIN.BATCH_SIZE = 96
+    c.GAN.S2D = True
+    gan.resolve_perf_levers(c, n_devices=1)
+    assert c.GAN.S2D is True
+
+
+def test_tri_state_lever_rejects_typos():
+    """Any string other than "auto" is a config typo that bool() would
+    silently pin ON — it must raise, at resolve and at read alike."""
+    import pytest
+
+    from s2i_tpu.train import gan
+
+    c = config.default_cfg()
+    c.GAN.S2D = "enabled"
+    with pytest.raises(ValueError, match="S2D"):
+        gan.s2d_enabled(c)
+    with pytest.raises(ValueError, match="S2D"):
+        gan.resolve_perf_levers(c)
+    c.GAN.S2D = "auto "
+    with pytest.raises(ValueError, match="S2D"):
+        gan.s2d_enabled(c)

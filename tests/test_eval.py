@@ -2,6 +2,9 @@
 FID(X,X)=0, IS of uniform logits = 1, retrieval on identical sets = perfect.
 The Inception pass itself is exercised at tiny batch on random weights."""
 
+import json
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -96,6 +99,40 @@ def test_retrieval_grouped_ids():
         retrieval_metrics(emb, emb, query_ids=ids)
     with pytest.raises(ValueError):
         retrieval_metrics(emb[:5], emb[:4])
+
+
+def test_retrieval_cli_grouped_vs_flat_pickles(tmp_path, capsys):
+    """scripts/eval.py --retrieval with a [N,caps,D] speech pickle against
+    an [N,D] image pickle: rows must align by GROUP id, not row count —
+    naive min-length truncation strands target groups with no positive
+    query and crashes the t2q direction."""
+    import importlib.util
+    import pickle
+    import types
+
+    spec = importlib.util.spec_from_file_location(
+        "s2i_eval_cli",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "eval.py"),
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    n_img, caps, dim = 6, 10, 16
+    rng = np.random.default_rng(3)
+    proto = np.eye(n_img, dim)
+    speech = proto[:, None, :] + 0.01 * rng.normal(size=(n_img, caps, dim))
+    image = proto + 0.01 * rng.normal(size=(n_img, dim))
+    qp, tp = str(tmp_path / "q.pkl"), str(tmp_path / "t.pkl")
+    with open(qp, "wb") as f:
+        pickle.dump(speech.astype(np.float32), f)
+    with open(tp, "wb") as f:
+        pickle.dump(image.astype(np.float32), f)
+
+    cli.retrieval_main(types.SimpleNamespace(retrieval=[qp, tp]))
+    out = capsys.readouterr().out
+    m = json.loads(out[out.index("{"):])
+    for d in ("q2t", "t2q"):
+        assert m[d]["r@1"] == 1.0
 
 
 def test_inception_forward_and_metrics_smoke():

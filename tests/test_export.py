@@ -105,6 +105,28 @@ def test_export_batch_padding(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_export_chunked_requests_draw_distinct_latents(tmp_path):
+    """B larger than every exported batch splits into chunks; each chunk
+    must advance the seed (seed+chunk_index) or identical wavs in
+    different chunks would render byte-identical images."""
+    pipe = _tiny_pipe()
+    out = str(tmp_path / "artifact")
+    export_pipeline(pipe, out, batch_sizes=(2,), quantize=True)
+    loaded = load(out)
+    one = _wavs(1, _max_samples(pipe))
+    wav = np.concatenate([one, one, one, one])  # 4 identical rows → 2 chunks
+    got = loaded.generate(wav, seed=7)
+    assert got.shape[0] == 4
+    # within a chunk, rows 0/1 share the wav but draw different z already;
+    # ACROSS chunks rows 0 and 2 must differ too (the regression case)
+    assert not np.array_equal(got[0], got[2])
+    # and each chunk equals the live pipe run with that chunk's seed
+    want0 = pipe.generate(wav[:2], None, seed=7, output_dtype="uint8")
+    want1 = pipe.generate(wav[2:], None, seed=8, output_dtype="uint8")
+    np.testing.assert_array_equal(got[:2], want0)
+    np.testing.assert_array_equal(got[2:], want1)
+
+
 def test_loaded_artifact_drops_into_serving_batcher(tmp_path):
     """LoadedPipeline presents the live pipeline's serving surface
     (``.p`` frame geometry + ``generate(..., output_dtype='uint8')``), so

@@ -106,6 +106,22 @@ def test_extract_features_falls_back_on_exotic_geometry():
     np.testing.assert_array_equal(np.asarray(m_k), np.asarray(m_j))
 
 
+def test_fused_kernel_compile_probe():
+    """The auto-select path (use_pallas=None on TPU) probes whether the
+    fused kernel LOWERS before embedding it — Mosaic rejections surface
+    at the enclosing jit's compile, where extract_features' try/except
+    can't reach. The probe must say no for geometries the kernel rejects,
+    yes for the production geometry, and cache the verdict."""
+    from s2i_tpu.audio import frontend
+
+    wav = jnp.asarray(_chirp(6000))[None]
+    bad = FrontendParams(hop_length=32, max_frames=64)  # n_fft/hop > 9
+    assert not frontend._fused_kernel_compiles(wav.shape, wav.dtype, bad)
+    good = FrontendParams(max_frames=64)
+    assert frontend._fused_kernel_compiles(wav.shape, wav.dtype, good)
+    assert (tuple(wav.shape), str(wav.dtype), good) in frontend._FUSED_PROBE
+
+
 def test_mfcc_shapes():
     wav = jnp.asarray(_chirp(8000))[None]
     m = mfcc_jnp(wav, P_SMALL)
