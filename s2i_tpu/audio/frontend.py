@@ -20,6 +20,7 @@ melspectrogram → log → crop/pad → normalize, SURVEY.md §3.1):
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Any
 
 import jax
@@ -229,7 +230,14 @@ def _fused_kernel_compiles(shape, dtype, p: FrontendParams) -> bool:
     (``jit(...).lower(...).compile()`` on ShapeDtypeStructs — no device
     data, legal even while an outer function is being traced) and caches
     the verdict. A Python-side ValueError pre-check rejection also lands
-    here as False, so the auto path never hard-fails on a valid cfg."""
+    here as False, so the auto path never hard-fails on a valid cfg.
+
+    Only DETERMINISTIC rejections (the ValueError pre-check, Mosaic
+    lowering errors) are cached: a transient backend failure (relay
+    "UNAVAILABLE", dropped connection) answers False for THIS call — the
+    jnp fallback keeps the caller working — but is retried next call, so
+    an outage at probe time cannot permanently demote the production TPU
+    frontend to the 1.59×-slower jnp path."""
     key = (tuple(shape), str(dtype), p)
     hit = _FUSED_PROBE.get(key)
     if hit is not None:
@@ -241,8 +249,28 @@ def _fused_kernel_compiles(shape, dtype, p: FrontendParams) -> bool:
             lambda w: mel_kernel.logmel_pallas_fused(w, p)
         ).lower(jax.ShapeDtypeStruct(shape, dtype)).compile()
         ok = True
-    except Exception:  # noqa: BLE001 — ValueError pre-check or Mosaic reject
+    except ValueError:  # kernel's own geometry pre-check: deterministic
         ok = False
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        transient = any(
+            s in msg
+            for s in (
+                "UNAVAILABLE",
+                "Unable to initialize backend",
+                "DEADLINE_EXCEEDED",
+                "Socket closed",
+                "Connection reset",
+            )
+        )
+        if transient:
+            logging.warning(
+                "fused mel kernel probe hit a transient backend error "
+                "(falling back to jnp for this call, will re-probe): %s",
+                msg,
+            )
+            return False
+        ok = False  # Mosaic/lowering rejection: deterministic for this key
     _FUSED_PROBE[key] = ok
     return ok
 

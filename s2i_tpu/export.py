@@ -162,9 +162,14 @@ class LoadedPipeline:
         Requests that fit one exported batch run one program call with
         ``seed`` and are bit-equal to the live pipeline at that batch.
         Larger requests split into chunks of the biggest exported batch;
-        each chunk runs with ``seed + chunk_index`` so every row draws a
-        distinct latent (a single shared seed would repeat the same z
-        block per chunk and collapse sample diversity).
+        chunk ``i`` runs with ``seed + i * 2654435761`` (mod 2^32) so every
+        row draws a distinct latent (a single shared seed would repeat the
+        same z block per chunk and collapse sample diversity) WITHOUT
+        aliasing adjacent user seeds (a plain ``seed + i`` derivation makes
+        ``generate(seed=k)``'s chunk 1 reuse ``generate(seed=k+1)``'s
+        chunk-0 draws — two "independent" sampling runs sharing latents).
+        Chunk 0 is the caller's seed, so single-chunk calls stay bit-equal
+        to the live pipeline.
 
         ``stage``/``output_dtype`` are baked into the artifact; passing a
         conflicting value raises rather than silently serving the wrong
@@ -207,7 +212,9 @@ class LoadedPipeline:
             img = self._programs[bb].call(
                 jnp.asarray(chunk),
                 jnp.asarray(lens),
-                jnp.asarray(seed + ci, jnp.int32),
+                jnp.asarray(
+                    np.uint32(seed) + np.uint32(ci) * np.uint32(2654435761)
+                ).astype(jnp.int32),
             )
             outs.append(np.asarray(img)[:nb])
         return np.concatenate(outs, axis=0)

@@ -105,6 +105,10 @@ def make_parallel_sample_fn(
     EXACTLY the single-device sampling for the same seed — pod-scale test-set
     generation for IS/FID (BASELINE config #5) with no semantic drift."""
     axis = str(cfg.MESH.DATA_AXIS)
+    # Freeze any still-"auto" perf levers from the per-device batch here so
+    # direct callers need no resolve-before-build ordering contract
+    # (idempotent: already-resolved booleans pass through unchanged).
+    gan.resolve_perf_levers(cfg, mesh.size)
     models = gan.build_models(
         cfg, axis_name=axis, joint=models.encoder is not None
     )
@@ -129,6 +133,9 @@ def make_parallel_train_step(
     the result is EXACTLY the single-device global-batch step (tested by
     tests/test_parallel.py::test_parallel_step_matches_single_device)."""
     axis = str(cfg.MESH.DATA_AXIS)
+    # Freeze any still-"auto" perf levers from the per-device batch (see
+    # make_parallel_sample_fn — removes the resolve-first ordering contract).
+    gan.resolve_perf_levers(cfg, mesh.size)
     # Rebuild modules with the mesh axis so BN stats sync across devices;
     # axis_name changes no param/stat trees, so the caller's state is valid.
     models = gan.build_models(

@@ -63,10 +63,12 @@ def _resolve_lever(value, cfg, on_below: int, what: str) -> bool:
     (docs/PERF.md) show these formulations win only while the per-step
     kernels are under-full; past the crossover batch they lose.
 
-    NOTE: this reads the batch size in `cfg` as the per-device batch. For
-    mesh runs, call `resolve_perf_levers(cfg, n_devices)` FIRST — it
-    freezes the "auto" levers from BATCH_SIZE/n_devices (what each chip's
-    kernels actually see); `GanTrainer` does this automatically."""
+    NOTE: this reads the batch size in `cfg` as the per-device batch. The
+    mesh entry points (`GanTrainer`, `parallel.mesh.make_parallel_*`,
+    `dryrun_multichip`) all call `resolve_perf_levers(cfg, n_devices)`
+    before building, freezing the "auto" levers from BATCH_SIZE/n_devices
+    (what each chip's kernels actually see) — so single-device resolution
+    here only ever applies to genuinely single-device builds."""
     value = _lever_value(value, what)
     if value == "auto":
         return int(cfg.TRAIN.BATCH_SIZE) < on_below

@@ -118,12 +118,15 @@ class GanTrainer:
             "backend": jax.default_backend(),
             "n_devices": len(jax.devices()),
             "mesh": dict(self.mesh.shape) if self.mesh is not None else None,
-            # resolved (post-"auto") perf levers, for provenance — the
-            # config.yml dump happens before per-device resolution
+            # EFFECTIVE perf levers (post-"auto" resolution AND structural
+            # gates like s2d_enabled's BRANCH_NUM check), for provenance —
+            # the config.yml dump happens before per-device resolution, and
+            # the raw resolved flag can read True on runs whose compiled
+            # program contains no recode (e.g. S2D with BRANCH_NUM=1)
             "perf_levers": {
-                "S2D": bool(self.cfg.GAN.S2D),
-                "S2D_MID": bool(self.cfg.GAN.S2D_MID),
-                "D_TRUNK_BATCH": bool(self.cfg.GAN.D_TRUNK_BATCH),
+                "S2D": gan.s2d_enabled(self.cfg),
+                "S2D_MID": gan.s2d_mid_enabled(self.cfg),
+                "D_TRUNK_BATCH": gan.d_trunk_batch_enabled(self.cfg),
             },
             "params": {
                 "generator+ca": count(

@@ -107,8 +107,10 @@ def test_export_batch_padding(tmp_path):
 
 def test_export_chunked_requests_draw_distinct_latents(tmp_path):
     """B larger than every exported batch splits into chunks; each chunk
-    must advance the seed (seed+chunk_index) or identical wavs in
-    different chunks would render byte-identical images."""
+    must advance the seed (seed + i*2654435761, mod 2^32) or identical
+    wavs in different chunks would render byte-identical images — and the
+    derivation must not alias ADJACENT user seeds (with seed+i, a seed=7
+    call's chunk 1 reuses a seed=8 call's chunk-0 draws)."""
     pipe = _tiny_pipe()
     out = str(tmp_path / "artifact")
     export_pipeline(pipe, out, batch_sizes=(2,), quantize=True)
@@ -120,11 +122,17 @@ def test_export_chunked_requests_draw_distinct_latents(tmp_path):
     # within a chunk, rows 0/1 share the wav but draw different z already;
     # ACROSS chunks rows 0 and 2 must differ too (the regression case)
     assert not np.array_equal(got[0], got[2])
-    # and each chunk equals the live pipe run with that chunk's seed
+    # chunk 0 is the caller's seed (single-chunk bit-equality contract);
+    # chunk 1 equals the live pipe at the derived chunk seed
+    seed1 = int(np.int32(np.uint32(7) + np.uint32(2654435761)))
     want0 = pipe.generate(wav[:2], None, seed=7, output_dtype="uint8")
-    want1 = pipe.generate(wav[2:], None, seed=8, output_dtype="uint8")
+    want1 = pipe.generate(wav[2:], None, seed=seed1, output_dtype="uint8")
     np.testing.assert_array_equal(got[:2], want0)
     np.testing.assert_array_equal(got[2:], want1)
+    # adjacent-seed independence: seed=8's first chunk must NOT reproduce
+    # seed=7's second chunk (the seed+i aliasing this derivation removes)
+    got8 = loaded.generate(wav, seed=8)
+    assert not np.array_equal(got8[:2], got[2:])
 
 
 def test_loaded_artifact_drops_into_serving_batcher(tmp_path):

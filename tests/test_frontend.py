@@ -122,6 +122,38 @@ def test_fused_kernel_compile_probe():
     assert (tuple(wav.shape), str(wav.dtype), good) in frontend._FUSED_PROBE
 
 
+def test_fused_kernel_probe_does_not_cache_transient_failures(monkeypatch):
+    """A relay outage at probe time (UNAVAILABLE / backend-init failure)
+    must answer False for that call (jnp fallback keeps working) but NOT
+    be cached — otherwise one transient error permanently demotes the
+    production TPU frontend to the 1.59×-slower jnp path. Deterministic
+    lowering rejections ARE cached."""
+    from s2i_tpu.audio import frontend
+    from s2i_tpu.ops import mel_kernel
+
+    p = FrontendParams(max_frames=64)
+    shape, dtype = (1, 6000), jnp.dtype(jnp.float32)
+    key = (shape, str(dtype), p)
+    frontend._FUSED_PROBE.pop(key, None)
+
+    def boom(w, params):
+        raise RuntimeError(
+            "Unable to initialize backend 'axon': UNAVAILABLE: TPU backend"
+        )
+
+    monkeypatch.setattr(mel_kernel, "logmel_pallas_fused", boom)
+    assert not frontend._fused_kernel_compiles(shape, dtype, p)
+    assert key not in frontend._FUSED_PROBE  # transient: retried next call
+
+    def mosaic_reject(w, params):
+        raise RuntimeError("INTERNAL: Mosaic failed to compile TPU kernel")
+
+    monkeypatch.setattr(mel_kernel, "logmel_pallas_fused", mosaic_reject)
+    assert not frontend._fused_kernel_compiles(shape, dtype, p)
+    assert frontend._FUSED_PROBE[key] is False  # deterministic: cached
+    frontend._FUSED_PROBE.pop(key, None)  # leave real state for other tests
+
+
 def test_mfcc_shapes():
     wav = jnp.asarray(_chirp(8000))[None]
     m = mfcc_jnp(wav, P_SMALL)

@@ -235,6 +235,23 @@ def test_multihost_two_process_step_matches_single_device():
         assert "MULTIHOST_OK" in out, f"process {pid}:\n{out}"
 
 
+def test_parallel_step_builder_resolves_auto_levers_per_device():
+    """make_parallel_train_step must freeze still-"auto" perf levers from
+    the PER-DEVICE batch itself — direct callers have no resolve-first
+    ordering contract. Global b96 on an 8-mesh runs b12 kernels per chip:
+    "auto" S2D/D_TRUNK_BATCH resolve ON (per-dev 12 < 32/96), where
+    global-batch resolution would wrongly leave S2D off (96 ≥ 32)."""
+    cfg = tiny_cfg()
+    cfg.TRAIN.BATCH_SIZE = 96
+    cfg.GAN.S2D = "auto"
+    cfg.GAN.D_TRUNK_BATCH = "auto"
+    mesh = make_mesh()
+    models = gan.build_models(cfg)  # direct caller: no resolve beforehand
+    make_parallel_train_step(cfg, models, mesh)
+    assert cfg.GAN.S2D is True
+    assert cfg.GAN.D_TRUNK_BATCH is True
+
+
 def test_shard_batch_rejects_indivisible():
     mesh = make_mesh()
     import pytest
