@@ -7,6 +7,7 @@ import os
 import subprocess
 import sys
 
+import jax
 import numpy as np
 import pytest
 
@@ -56,6 +57,44 @@ def test_trainer_runs_and_resumes(tmp_path):
     assert os.path.exists(os.path.join(out, "scalars.jsonl"))
     grids = os.listdir(os.path.join(out, "images"))
     assert any(g.endswith(".png") for g in grids)
+
+
+def test_resume_is_bitwise_equal_to_uninterrupted_run(tmp_path):
+    """Checkpoint COMPLETENESS: a run interrupted at an epoch boundary and
+    resumed must land bitwise equal to the uninterrupted run — per-step rng
+    is fold_in(base_rng, state.step) and batches are (SEED, epoch)-seeded,
+    so any state leaf missing from the Orbax checkpoint (params, both
+    optimizer states, BN stats, EMA, step) shows up as a float diff here.
+    The resumed leg offsets the factory's epoch to align the data stream
+    (production resume replays the epoch seed instead — a data-order
+    difference, not a state one)."""
+    cfg = tiny_cfg()
+    factory = gan_batch_factory(cfg)
+
+    ta = GanTrainer(
+        cfg, str(tmp_path / "straight"), factory, image_every=10**6
+    )
+    ta.train(max_epoch=2)
+    state_a = jax.device_get(ta.state)
+    ta.close()
+
+    out_b = str(tmp_path / "interrupted")
+    tb = GanTrainer(cfg, out_b, factory, image_every=10**6)
+    tb.train(max_epoch=1)  # SNAPSHOT_INTERVAL=8 → saved at step 16
+    tb.close()
+    tb2 = GanTrainer(
+        cfg, out_b, lambda e: factory(e + 1), image_every=10**6
+    )
+    assert int(tb2.state.step) == 16  # restored, not re-initialized
+    tb2.train(max_epoch=1)
+    state_b = jax.device_get(tb2.state)
+    tb2.close()
+
+    leaves_a, treedef_a = jax.tree.flatten(state_a)
+    leaves_b, treedef_b = jax.tree.flatten(state_b)
+    assert treedef_a == treedef_b
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
 def test_trainer_sample_to_dir(tmp_path):
