@@ -463,12 +463,40 @@ if __name__ == "__main__":
     # is cached for the life of the process, so each retry must also be
     # the first jax backend touch (fn() imports jax lazily; if the cache
     # already poisoned this process, re-exec into a fresh interpreter).
-    attempts = [0, 30, 300, 600]
+    attempts = [0, 30, 300, 600, 900]
     first = int(os.environ.get("S2I_BENCH_ATTEMPT", "0"))
     for i, cooldown in enumerate(attempts):
         if i < first:
             continue
         _time.sleep(cooldown)
+        # The relay has a third failure mode beyond mid-body drops and
+        # UNAVAILABLE refusals: backend init that HANGS indefinitely (no
+        # error, no grant). Probe it in a throwaway subprocess with a
+        # timeout before touching jax in THIS process — a successful init
+        # prints and exits in <~120 s, so a 300 s kill only ever hits a
+        # client stuck pre-grant. On probe failure, burn this attempt
+        # (this process stays unpoisoned; no re-exec needed).
+        import subprocess as _sp
+
+        try:
+            probe = _sp.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, text=True, timeout=300,
+            )
+            probe_err = probe.stderr[-300:] if probe.returncode else ""
+        except _sp.TimeoutExpired:
+            probe_err = "backend init hang (probe timeout)"
+        if probe_err:
+            print(
+                f"# bench attempt {i + 1}: backend probe failed "
+                f"({probe_err})" + (
+                    "" if i == len(attempts) - 1 else "; retrying"
+                ),
+                flush=True,
+            )
+            if i == len(attempts) - 1:
+                raise RuntimeError(f"TPU backend unreachable: {probe_err}")
+            continue
         try:
             fn()
             break
