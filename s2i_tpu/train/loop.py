@@ -67,9 +67,26 @@ class GanTrainer:
         state = gan.init_state(
             cfg, self.models, jax.random.key(int(cfg.SEED)), first
         )
+        # Data-stream position (epoch, step-in-epoch) persisted alongside
+        # each checkpoint so auto-resume continues the exact batch stream
+        # the interrupted run would have consumed next (the reference's
+        # torch.save resume restarts the data loader from scratch; ours is
+        # bitwise-continuous — tests/test_loop.py resume-equality tests).
+        self._progress = {"epoch": 0, "step_in_epoch": 0}
         restored = self.ckpt.restore_latest(state)
         if restored is not None:
             state, step = restored
+            prog = self._read_progress()
+            if prog is not None and int(prog.get("step", -1)) == step:
+                self._progress = {
+                    "epoch": int(prog["epoch"]),
+                    "step_in_epoch": int(prog["step_in_epoch"]),
+                }
+            else:
+                print(
+                    "warning: checkpoint has no matching progress sidecar; "
+                    "resuming the data stream from epoch 0"
+                )
             print(f"resumed from step {step}")
         elif str(cfg.TRAIN.NET_G):
             # Reference-parity warm start (cfg.TRAIN.NET_G): fresh run dir,
@@ -139,6 +156,32 @@ class GanTrainer:
         with open(os.path.join(self.output_dir, "run_meta.json"), "w") as f:
             json.dump(meta, f, indent=2)
 
+    def _progress_path(self) -> str:
+        return os.path.join(self.output_dir, "train_progress.json")
+
+    def _read_progress(self) -> dict | None:
+        import json
+
+        try:
+            with open(self._progress_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _write_progress(self, step: int) -> None:
+        """Atomically persist the data-stream position for ``step``'s
+        checkpoint (tmp + rename; a torn write must not corrupt resume)."""
+        import json
+
+        tmp = self._progress_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"step": step, **self._progress}, f)
+        os.replace(tmp, self._progress_path())
+
+    def _save_checkpoint(self, step: int, force: bool = False) -> None:
+        if self.ckpt.save(step, self.state, force=force):
+            self._write_progress(step)
+
     def _graft_encoder(self, state, net_e: str, first_batch: dict):
         from s2i_tpu.train import encoder as enc_train
 
@@ -193,7 +236,16 @@ class GanTrainer:
             batch = jax.device_put(batch)
         return batch
 
-    def train(self, max_epoch: int | None = None) -> dict:
+    def train(
+        self, max_epoch: int | None = None, max_steps: int | None = None
+    ) -> dict:
+        """Train until ``max_epoch`` TOTAL epochs are complete (reference
+        ``cfg.TRAIN.MAX_EPOCH`` semantics — a resumed run finishes the
+        remaining epochs rather than training ``max_epoch`` more; an
+        already-complete job is a no-op). ``max_steps`` bounds the GLOBAL
+        step counter (benchmark windows, deterministic mid-epoch
+        interruption); the final checkpoint + progress sidecar make the
+        stop resumable at the exact next batch."""
         cfg = self.cfg
         max_epoch = max_epoch or int(cfg.TRAIN.MAX_EPOCH)
         snapshot = int(cfg.TRAIN.SNAPSHOT_INTERVAL)
@@ -201,6 +253,8 @@ class GanTrainer:
         mets = {}
         t0 = time.time()
         imgs_done = 0
+        if max_steps is not None and int(self.state.step) >= max_steps:
+            return {}
 
         # Preemption robustness (SURVEY.md §5 "Failure detection"): on
         # SIGTERM, finish the in-flight step, checkpoint, and stop cleanly —
@@ -225,17 +279,34 @@ class GanTrainer:
         # log/grid/snapshot boundaries instead (the jitted step advances the
         # device counter by exactly 1, so the mirror stays exact).
         step = int(self.state.step)
-        for epoch in range(max_epoch):
+        interrupted = False
+        for epoch in range(int(self._progress["epoch"]), max_epoch):
+            raw = iter(self.batch_factory(epoch))
+            skip = (
+                int(self._progress["step_in_epoch"])
+                if epoch == int(self._progress["epoch"])
+                else 0
+            )
+            # Mid-epoch resume: the batch stream is (SEED, epoch)-keyed and
+            # deterministic, so skipping the consumed prefix realigns it
+            # exactly (the skipped batches' host decode is re-paid once).
+            try:
+                for _ in range(skip):
+                    next(raw)
+            except StopIteration:
+                # dataset shrank between sessions; treat epoch as complete
+                self._progress = {"epoch": epoch + 1, "step_in_epoch": 0}
+                continue
+            self._progress = {"epoch": epoch, "step_in_epoch": skip}
             # _prep (device_put of the ~25 MB batch) runs inside the
             # prefetch worker so host->device transfer overlaps the
             # previous step's compute instead of serializing with it.
-            batches = prefetch(
-                map(self._prep, self.batch_factory(epoch)), depth=4
-            )
+            batches = prefetch(map(self._prep, raw), depth=4)
             for batch in batches:
                 b = batch["images"][0].shape[0]
                 self.state, mets = self.step_fn(self.state, batch, base_rng)
                 step += 1
+                self._progress["step_in_epoch"] += 1
                 if debug_nans:
                     bad = {
                         k: float(v)
@@ -263,19 +334,28 @@ class GanTrainer:
                 if step % self.image_every == 0:
                     self._save_grid(step)
                 if snapshot and step % snapshot == 0:
-                    self.ckpt.save(step, self.state)
-                if stop_requested:
+                    self._save_checkpoint(step)
+                if stop_requested or (
+                    max_steps is not None and step >= max_steps
+                ):
+                    interrupted = True
                     break
-            if stop_requested:
-                print(f"SIGTERM: checkpointing at step {step}")
+            if interrupted:
+                if stop_requested:
+                    print(f"SIGTERM: checkpointing at step {step}")
                 break
+            self._progress = {"epoch": epoch + 1, "step_in_epoch": 0}
         if prev_handler is not None:
             import signal
 
             signal.signal(signal.SIGTERM, prev_handler)
         assert step == int(self.state.step), "host step mirror out of sync"
         if self.ckpt.latest_step != step:
-            self.ckpt.save(step, self.state, force=True)
+            self._save_checkpoint(step, force=True)
+        else:
+            # checkpoint already current (snapshot boundary), but the
+            # progress may have rolled to the next epoch since it was cut
+            self._write_progress(step)
         self.ckpt.wait()
         return {k: float(v) for k, v in mets.items()}
 

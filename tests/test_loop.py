@@ -47,10 +47,15 @@ def test_trainer_runs_and_resumes(tmp_path):
     t1.close()
     assert steps_after_first == 16  # 128 examples / batch 8
 
-    # same output dir → restores latest checkpoint and continues
+    # same output dir → restores latest checkpoint and continues.
+    # max_epoch counts TOTAL epochs (reference MAX_EPOCH semantics): the
+    # already-complete 1-epoch job is a no-op; max_epoch=2 trains the
+    # remaining epoch.
     t2 = GanTrainer(cfg, out, gan_batch_factory(cfg), image_every=1000)
     assert int(t2.state.step) == steps_after_first
     t2.train(max_epoch=1)
+    assert int(t2.state.step) == steps_after_first  # no-op: job complete
+    t2.train(max_epoch=2)
     assert int(t2.state.step) == 2 * steps_after_first
     t2.close()
 
@@ -65,9 +70,8 @@ def test_resume_is_bitwise_equal_to_uninterrupted_run(tmp_path):
     is fold_in(base_rng, state.step) and batches are (SEED, epoch)-seeded,
     so any state leaf missing from the Orbax checkpoint (params, both
     optimizer states, BN stats, EMA, step) shows up as a float diff here.
-    The resumed leg offsets the factory's epoch to align the data stream
-    (production resume replays the epoch seed instead — a data-order
-    difference, not a state one)."""
+    The progress sidecar aligns the resumed data stream automatically —
+    production resume IS the tested path, no epoch offset needed."""
     cfg = tiny_cfg()
     factory = gan_batch_factory(cfg)
 
@@ -82,19 +86,52 @@ def test_resume_is_bitwise_equal_to_uninterrupted_run(tmp_path):
     tb = GanTrainer(cfg, out_b, factory, image_every=10**6)
     tb.train(max_epoch=1)  # SNAPSHOT_INTERVAL=8 → saved at step 16
     tb.close()
-    tb2 = GanTrainer(
-        cfg, out_b, lambda e: factory(e + 1), image_every=10**6
-    )
+    tb2 = GanTrainer(cfg, out_b, factory, image_every=10**6)
     assert int(tb2.state.step) == 16  # restored, not re-initialized
-    tb2.train(max_epoch=1)
+    tb2.train(max_epoch=2)  # completes the remaining epoch
     state_b = jax.device_get(tb2.state)
     tb2.close()
 
+    _assert_states_bitwise_equal(state_a, state_b)
+
+
+def _assert_states_bitwise_equal(state_a, state_b):
     leaves_a, treedef_a = jax.tree.flatten(state_a)
     leaves_b, treedef_b = jax.tree.flatten(state_b)
     assert treedef_a == treedef_b
     for la, lb in zip(leaves_a, leaves_b):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_mid_epoch_resume_is_bitwise_equal(tmp_path):
+    """Preemption at an ARBITRARY step (not an epoch boundary): the
+    progress sidecar records (epoch, step_in_epoch) with every checkpoint
+    and resume fast-forwards the deterministic batch stream past the
+    consumed prefix — the resumed run must be bitwise identical to the
+    uninterrupted one, including the mid-epoch data order."""
+    cfg = tiny_cfg()
+    factory = gan_batch_factory(cfg)
+
+    ta = GanTrainer(
+        cfg, str(tmp_path / "straight"), factory, image_every=10**6
+    )
+    ta.train(max_epoch=2)  # 32 steps total (16/epoch)
+    state_a = jax.device_get(ta.state)
+    ta.close()
+
+    out_b = str(tmp_path / "interrupted")
+    tb = GanTrainer(cfg, out_b, factory, image_every=10**6)
+    tb.train(max_epoch=2, max_steps=21)  # stops 5 steps into epoch 1
+    assert int(tb.state.step) == 21
+    tb.close()
+    tb2 = GanTrainer(cfg, out_b, factory, image_every=10**6)
+    assert int(tb2.state.step) == 21
+    tb2.train(max_epoch=2)
+    assert int(tb2.state.step) == 32
+    state_b = jax.device_get(tb2.state)
+    tb2.close()
+
+    _assert_states_bitwise_equal(state_a, state_b)
 
 
 def test_trainer_sample_to_dir(tmp_path):
@@ -113,8 +150,7 @@ def test_debug_nans_guard(tmp_path):
     t = GanTrainer(cfg, out, gan_batch_factory(cfg))
     # absurd lr drives the G loss non-finite within an epoch
     with pytest.raises(FloatingPointError):
-        for _ in range(6):
-            t.train(max_epoch=1)
+        t.train(max_epoch=6)
     t.close()
 
 
