@@ -143,6 +143,7 @@ def gan_batch_factory(cfg):
             use_native=None if pipeline == "native" else False,
             image_dtype=str(getattr(cfg.DATA, "IMAGE_DTYPE", "float32")),
             ship_scales=str(getattr(cfg.DATA, "SHIP_SCALES", "all")),
+            fast_decode=bool(getattr(cfg.DATA, "FAST_DECODE", False)),
         )
 
     return factory
@@ -225,6 +226,7 @@ def joint_batch_factory(cfg):
             max_samples=max_samples,
             image_dtype=str(getattr(cfg.DATA, "IMAGE_DTYPE", "float32")),
             ship_scales=str(getattr(cfg.DATA, "SHIP_SCALES", "all")),
+            fast_decode=bool(getattr(cfg.DATA, "FAST_DECODE", False)),
         )
         return (featurize(b) for b in it)
 

@@ -200,6 +200,12 @@ def default_cfg() -> AttrDict:
                 # pool (train.gan.expand_image_pyramid). "all" ships the full
                 # per-scale pyramid (reference layout).
                 "SHIP_SCALES": "top",
+                # DCT-scaled JPEG decode in the native loader (libjpeg M/8
+                # scaling chosen so the scaled crop region still covers the
+                # resize target). Opt-in throughput knob for decode-bound
+                # hosts: output differs slightly from the full-res decode
+                # (coarser bilinear source grid), so the default stays off.
+                "FAST_DECODE": False,
             },
             "TEXT": {
                 # Teacher (char-CNN-RNN) embedding dim == speech-encoder output.

@@ -277,6 +277,7 @@ class GanEpochIterator:
         max_samples: int = 164240,
         image_dtype: str = "float32",
         ship_scales: str = "all",
+        fast_decode: bool = False,
     ):
         self.split = split
         self.batch_size = batch_size
@@ -305,6 +306,9 @@ class GanEpochIterator:
 
             use_native = native.native_available()
         self.use_native = use_native
+        # DCT-scaled decode (DATA.FAST_DECODE): opt-in host-throughput knob,
+        # native path only — the PIL fallback stays full-resolution.
+        self.fast_decode = fast_decode
 
     def _load_scales_native(self, idx: np.ndarray, batch_seed: int):
         from s2i_tpu import native
@@ -332,6 +336,7 @@ class GanEpochIterator:
             augment=True,
             num_threads=self.num_threads,
             dtype=self.image_dtype,
+            fast_decode=self.fast_decode,
         )
         if failed:
             # backfill zeroed slots via PIL (corrupt/odd files)

@@ -63,6 +63,7 @@ def get_lib():
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_void_p),
                 ctypes.c_int,
+                ctypes.c_int,
             ]
             lib.il_load_batch_u8.restype = ctypes.c_int
             lib.il_load_batch_u8.argtypes = lib.il_load_batch.argtypes
@@ -91,12 +92,16 @@ def load_batch(
     augment: bool,
     num_threads: int = 8,
     dtype: str = "float32",
+    fast_decode: bool = False,
 ) -> tuple[list[np.ndarray], int]:
     """Decode+transform a batch natively.
 
     Returns ([branch_num arrays [N, S, S, 3]], n_failed). ``dtype="float32"``
     yields [-1,1] values; ``dtype="uint8"`` yields raw [0,255] for device-side
     normalization (4x fewer host->device bytes — see DATA.IMAGE_DTYPE).
+    ``fast_decode`` enables DCT-scaled JPEG decode (libjpeg M/8 scaling
+    chosen so the scaled crop region still covers the resize target) — an
+    opt-in approximation knob (DATA.FAST_DECODE) for throughput-bound hosts.
     Failed slots are zeroed — the caller backfills them via PIL.
     """
     lib = get_lib()
@@ -130,5 +135,6 @@ def load_batch(
         1 if augment else 0,
         c_outs,
         num_threads,
+        1 if fast_decode else 0,
     )
     return outs, int(failed)

@@ -294,6 +294,49 @@ def test_uint8_native_loader_matches_float(fake_dataset):
         )
 
 
+def test_native_fast_decode(fake_dataset):
+    """DATA.FAST_DECODE (DCT-scaled decode): bit-identical whenever the
+    crop region does not cover the resize target (the scale rounds up to
+    8/8 — a full decode), and a bounded approximation when a power-of-two
+    scale triggers (300² source at imsize=64 → 4/8 decode)."""
+    from s2i_tpu import native
+
+    if not native.native_available():
+        pytest.skip("native loader unavailable")
+    split = StackGanSplit(fake_dataset, "train")
+    paths = [split.image_path(i) for i in range(4)]
+
+    # 300² < load_size 304 at imsize=256: fast must take the full-decode
+    # path and match the exact loader bit for bit.
+    exact, _ = native.load_batch(
+        paths, None, 256, 1, seed=5, augment=True, dtype="uint8"
+    )
+    fast, _ = native.load_batch(
+        paths, None, 256, 1, seed=5, augment=True, dtype="uint8",
+        fast_decode=True,
+    )
+    np.testing.assert_array_equal(exact[0], fast[0])
+
+    # imsize=64 (load_size 76): the 4/8 scale triggers. Deterministic,
+    # same crop/flip draws, and close to the full-res transform (the
+    # fixture is uniform noise — the worst case for any decode
+    # approximation; natural images sit far below this bound).
+    exact, _ = native.load_batch(
+        paths, None, 64, 1, seed=5, augment=True, dtype="uint8"
+    )
+    fast, _ = native.load_batch(
+        paths, None, 64, 1, seed=5, augment=True, dtype="uint8",
+        fast_decode=True,
+    )
+    fast2, _ = native.load_batch(
+        paths, None, 64, 1, seed=5, augment=True, dtype="uint8",
+        fast_decode=True,
+    )
+    np.testing.assert_array_equal(fast[0], fast2[0])
+    diff = np.abs(exact[0].astype(np.int32) - fast[0].astype(np.int32))
+    assert diff.mean() < 48, diff.mean()  # noise fixture: loose bound
+
+
 def test_synthetic_uint8_batches():
     from s2i_tpu.data import SyntheticGanDataset
     from s2i_tpu.train.gan import normalize_images
