@@ -1,18 +1,28 @@
-"""Minimal WAV reading (PCM16/PCM8/float32) via the stdlib ``wave`` module +
-numpy — librosa/soundfile are not available in this environment (SURVEY.md
-§7 environment facts), and the only thing the reference used librosa's IO for
-is loading 16 kHz mono speech captions.
+"""Minimal WAV reading (PCM16/PCM8/PCM24/PCM32) via the stdlib ``wave``
+module + numpy — librosa/soundfile are not available in this environment
+(SURVEY.md §7 environment facts), and the only thing the reference used
+librosa's IO for is loading 16 kHz mono speech captions.
+
+Format note: stdlib ``wave`` only opens WAVE_FORMAT_PCM (integer) files and
+raises ``wave.Error: unknown format: 3`` on IEEE-float WAVs, so a 4-byte
+sample width here is ALWAYS int32 PCM — decoding it as float32 (the round-2
+behavior) silently turned int32 samples into ~1e-40 denormals, i.e. silence.
 """
 
 from __future__ import annotations
 
 import wave
+from typing import IO
 
 import numpy as np
 
 
-def read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Returns (mono float32 samples in [-1, 1], sample_rate)."""
+def read_wav(path: str | IO[bytes]) -> tuple[np.ndarray, int]:
+    """Returns (mono float32 samples in [-1, 1], sample_rate).
+
+    ``path`` may be a filename or a binary file-like object (the serving
+    layer passes ``io.BytesIO`` of the request body).
+    """
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()
@@ -24,8 +34,19 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     elif width == 1:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     elif width == 4:
-        # assume IEEE float; WAVE_FORMAT check is not exposed by `wave`
-        x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        # int32 PCM: `wave` rejects IEEE-float files (format tag 3), so a
+        # 4-byte width can only be WAVE_FORMAT_PCM int32 (see module note)
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 3:
+        # int24 PCM: widen each 3-byte little-endian sample to int32
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        i32 = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        i32 = (i32 << 8) >> 8  # sign-extend bit 23
+        x = i32.astype(np.float32) / 8388608.0
     else:
         raise ValueError(f"unsupported sample width {width} in {path}")
     if ch > 1:

@@ -213,7 +213,12 @@ class LoadedPipeline:
                 jnp.asarray(chunk),
                 jnp.asarray(lens),
                 jnp.asarray(
-                    np.uint32(seed) + np.uint32(ci) * np.uint32(2654435761)
+                    # mask first: NumPy 2 raises OverflowError converting a
+                    # negative/out-of-range Python int to uint32, but the
+                    # live pipeline accepts any int seed (jax.random.key
+                    # folds it) — keep the artifact drop-in compatible
+                    np.uint32(int(seed) & 0xFFFFFFFF)
+                    + np.uint32(ci) * np.uint32(2654435761)
                 ).astype(jnp.int32),
             )
             outs.append(np.asarray(img)[:nb])

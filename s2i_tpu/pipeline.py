@@ -183,6 +183,14 @@ class SpeechToImage:
         if wav_lens is None:
             wav_lens = jnp.full((wavs.shape[0],), wavs.shape[1], jnp.int32)
         branch = int(self.cfg.TREE.BRANCH_NUM)
+        if not -branch <= stage < branch:
+            # reject instead of silently wrapping (stage=3 on a 3-branch
+            # model would otherwise return the 64px lowest stage); the
+            # exported-artifact path raises the same way (export.py)
+            raise ValueError(
+                f"stage {stage} out of range for BRANCH_NUM={branch} "
+                f"(valid: {-branch}..{branch - 1}, -1 = highest)"
+            )
         stage = stage % branch
         imgs = self._generate(
             self.enc_state,

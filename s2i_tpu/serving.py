@@ -5,7 +5,7 @@ work is the single jitted wav→image program from :mod:`s2i_tpu.pipeline`;
 requests are micro-batched by a background collator thread so concurrent
 clients share one TPU dispatch (static batch shape = compiled once).
 
-    POST /generate   body: WAV bytes (PCM16/float32)   → PNG bytes
+    POST /generate   body: WAV bytes (PCM 8/16/24/32-bit)   → PNG bytes
     GET  /healthz                                       → {"status": "ok"}
 
 CLI: ``python scripts/serve.py --cfg ... --encoder_ckpt ... --gan_ckpt ...``
@@ -17,12 +17,11 @@ import io
 import json
 import queue
 import threading
-import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from s2i_tpu.audio.wavio import resample_linear
+from s2i_tpu.audio.wavio import read_wav, resample_linear
 from s2i_tpu.pipeline import SpeechToImage
 
 
@@ -128,27 +127,28 @@ class Batcher:
 
 
 def _decode_wav_bytes(data: bytes, target_sr: int) -> np.ndarray:
-    with wave.open(io.BytesIO(data), "rb") as w:
-        sr = w.getframerate()
-        raw = w.readframes(w.getnframes())
-        width = w.getsampwidth()
-        ch = w.getnchannels()
-    if width == 2:
-        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-    elif width == 4:
-        x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
-    else:
-        raise ValueError(f"unsupported sample width {width}")
-    if ch > 1:
-        x = x.reshape(-1, ch).mean(axis=1)
+    # One source of truth for sample decoding + mono downmix: read_wav
+    # accepts file-like objects, covers PCM 8/16/24/32, and carries the
+    # int32-vs-float32 width==4 fix (s2i_tpu/audio/wavio.py module note) —
+    # the previous inline copy here misdecoded int32 PCM as IEEE float.
+    x, sr = read_wav(io.BytesIO(data))
     return resample_linear(x, sr, target_sr)
 
 
 def make_server(
     pipe: SpeechToImage, host: str = "127.0.0.1", port: int = 8500,
-    batch_size: int = 8, max_pending: int = 64,
+    batch_size: int = 8, max_pending: int = 64, warmup: bool = True,
 ) -> ThreadingHTTPServer:
     batcher = Batcher(pipe, batch_size, max_pending=max_pending)
+    if warmup:
+        # Trace+compile the exact (batch_size, max_samples) program the
+        # collator dispatches BEFORE accepting traffic: on TPU the first
+        # compile (plus session init) can exceed the handler's fixed 120 s
+        # job wait, turning the first real request into a 500 "timeout"
+        # whose batch then completes and is discarded.
+        wavs = np.zeros((batch_size, batcher.max_samples), np.float32)
+        lens = np.ones(batch_size, np.int32)
+        pipe.generate(wavs, lens, output_dtype="uint8")
     sample_rate = pipe.p.sample_rate
 
     class Handler(BaseHTTPRequestHandler):

@@ -87,7 +87,12 @@ def main():
     if not args.gen_dir:
         p.error("--gen_dir required (or use --retrieval)")
 
-    from s2i_tpu.eval import InceptionFeatures, fid_score, inception_score
+    from s2i_tpu.eval import (
+        InceptionFeatures,
+        fid_from_stats,
+        gaussian_stats,
+        inception_score_from_probs,
+    )
 
     variables = None
     num_classes = args.num_classes
@@ -118,12 +123,24 @@ def main():
         }
     ex = InceptionFeatures(variables, num_classes=num_classes)
     gen = load_dir(args.gen_dir, args.limit)
-    mean, std = inception_score(gen, ex, args.splits, args.batch)
+    # ONE extractor pass over the generated set: extract() returns pool3 and
+    # logits together, so IS (logits) and FID (pool3) share it — calling
+    # inception_score + fid_score would run the dominant device pass twice
+    # at the 30k-image protocol.
+    gen_pool, gen_logits = ex.extract(gen, args.batch)
+    gen_logits = gen_logits - gen_logits.max(axis=1, keepdims=True)
+    e = np.exp(gen_logits)
+    mean, std = inception_score_from_probs(
+        e / e.sum(axis=1, keepdims=True), args.splits
+    )
     trained = bool(args.weights or args.finetuned_ckpt)
     fid = None
     if args.real_dir:
         real = load_dir(args.real_dir, args.limit)
-        fid = fid_score(gen, real, ex, args.batch)
+        real_pool, _ = ex.extract(real, args.batch)
+        fid = fid_from_stats(
+            *gaussian_stats(gen_pool), *gaussian_stats(real_pool)
+        )
     if args.json:
         import json
 

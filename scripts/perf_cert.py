@@ -24,6 +24,7 @@ Usage:  python scripts/perf_cert.py [--what gan|mel|both]
 import argparse
 import functools
 import json
+import math
 import os
 import sys
 import time
@@ -144,10 +145,20 @@ def cert_gan() -> dict:
     k_lo, k_hi = 2, 10
     for k in (k_lo, k_hi):
         float(run_k(state, batch, jax.random.key(1), k))  # compile
-    t_lo = _timed(run_k, state, batch, jax.random.key(1), k_lo)
-    t_hi = _timed(run_k, state, batch, jax.random.key(1), k_hi)
-    per = (t_hi - t_lo) / (k_hi - k_lo)
-    return _gan_record("gan_step_256px_b24_bf16", batch_size, gflop, per)
+    best = float("inf")
+    for _ in range(3):  # per>0 guard like every other cert path: a relay
+        # throttle window can make t_hi <= t_lo (differenced fixed costs)
+        t_lo = _timed(run_k, state, batch, jax.random.key(1), k_lo)
+        t_hi = _timed(run_k, state, batch, jax.random.key(1), k_hi)
+        per = (t_hi - t_lo) / (k_hi - k_lo)
+        if per > 0:
+            best = min(best, per)
+    if not math.isfinite(best):
+        return {
+            "what": "gan_step_256px_b24_bf16",
+            "error": "no positive-differenced trial (relay throttle)",
+        }
+    return _gan_record("gan_step_256px_b24_bf16", batch_size, gflop, best)
 
 
 def cert_gan_ab(variants=None, trials: int = 3) -> list[dict]:
@@ -378,11 +389,18 @@ def cert_gan_parts(trials: int = 3) -> list[dict]:
             if per > 0:
                 best[name] = min(best[name], per)
     return [
-        {
-            "what": f"part:{name}",
-            "device_time_s": round(best[name], 5),
-            "method": "scan-chain diff, scalar readback, interleaved",
-        }
+        (
+            {
+                "what": f"part:{name}",
+                "device_time_s": round(best[name], 5),
+                "method": "scan-chain diff, scalar readback, interleaved",
+            }
+            if math.isfinite(best[name])
+            else {
+                "what": f"part:{name}",
+                "error": "no positive-differenced trial (relay throttle)",
+            }
+        )
         for name, _rk, _a in built
     ]
 
@@ -752,7 +770,21 @@ def main():
     if args.what in ("mel", "both"):
         out.append(cert_mel())
     for rec in out:
-        print(json.dumps(rec))
+        print(json.dumps(_sanitize(rec)))
+
+
+def _sanitize(obj):
+    """NaN/Infinity are not valid JSON (json.dumps emits them anyway);
+    strict parsers of the one-record-per-line output would throw. Replace
+    non-finite floats with None (e.g. cert_mel's fused-kernel fields when
+    the kernel fails on-chip and per_fused stays nan)."""
+    if isinstance(obj, dict):
+        return {k: _sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_sanitize(v) for v in obj]
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return None
+    return obj
 
 
 if __name__ == "__main__":

@@ -24,6 +24,9 @@ def main():
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8500)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip the pre-listen compile of the serving batch "
+                   "(first request then pays XLA compile inside its wait)")
     args = p.parse_args()
     if args.artifact:
         from s2i_tpu.export import load
@@ -41,7 +44,9 @@ def main():
         pipe = SpeechToImage.from_checkpoints(
             cfg, args.encoder_ckpt, args.gan_ckpt
         )
-    srv = make_server(pipe, args.host, args.port, args.batch)
+    srv = make_server(
+        pipe, args.host, args.port, args.batch, warmup=not args.no_warmup
+    )
     print(f"serving on http://{args.host}:{args.port}  (POST /generate, GET /healthz)")
     srv.serve_forever()
 

@@ -63,6 +63,81 @@ def test_wavio_roundtrip(tmp_path):
     assert abs(len(z) - 8000) <= 1
 
 
+def test_wavio_pcm_widths(tmp_path):
+    """PCM32/24/8 decode: stdlib ``wave`` only opens integer-PCM files, so a
+    4-byte width is int32 PCM — the round-2 float32 interpretation turned
+    real samples into ~1e-40 denormals (silence). Also covers file-like
+    input (the serving layer reads request bytes via BytesIO)."""
+    import io
+    import wave as _wave
+
+    x = (np.sin(np.linspace(0, 50, 4000)) * 0.6).astype(np.float32)
+
+    def write(path, width, payload):
+        with _wave.open(path, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(16000)
+            w.writeframes(payload)
+
+    # int32 PCM
+    p32 = str(tmp_path / "i32.wav")
+    write(p32, 4, (x * 2147483647).astype("<i4").tobytes())
+    y, sr = read_wav(p32)
+    assert sr == 16000
+    np.testing.assert_allclose(y, x, atol=1e-6)
+    # int24 PCM (3-byte little-endian, sign-extended)
+    i24 = np.round(x * 8388607).astype(np.int32)
+    b = np.zeros((len(i24), 3), np.uint8)
+    b[:, 0] = i24 & 0xFF
+    b[:, 1] = (i24 >> 8) & 0xFF
+    b[:, 2] = (i24 >> 16) & 0xFF
+    p24 = str(tmp_path / "i24.wav")
+    write(p24, 3, b.tobytes())
+    y, _ = read_wav(p24)
+    np.testing.assert_allclose(y, x, atol=2e-7)
+    # uint8 PCM
+    p8 = str(tmp_path / "u8.wav")
+    write(p8, 1, (np.round(x * 127) + 128).astype(np.uint8).tobytes())
+    y, _ = read_wav(p8)
+    np.testing.assert_allclose(y, x, atol=1.5e-2)  # 8-bit quantization
+    # file-like object == path (serving request-body path)
+    with open(p32, "rb") as f:
+        data = f.read()
+    y2, sr2 = read_wav(io.BytesIO(data))
+    np.testing.assert_array_equal(y2, read_wav(p32)[0])
+    # the serving decoder delegates to read_wav (one source of truth)
+    from s2i_tpu.serving import _decode_wav_bytes
+
+    y3 = _decode_wav_bytes(data, 16000)
+    np.testing.assert_allclose(y3, x, atol=1e-6)
+
+
+def test_tone_synthesize_process_stable():
+    """Fixture audio must be identical across interpreter runs: built-in
+    hash() is salted per process (PYTHONHASHSEED), so the generator derives
+    seeds from crc32 instead."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        f"import sys; sys.path.insert(0, {repo!r});"
+        "from tools.synthesize_speech import tone_synthesize;"
+        "import hashlib; x = tone_synthesize('a bird with red wings', 16000);"
+        "print(hashlib.sha1(x.tobytes()).hexdigest())"
+    )
+    outs = {
+        subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            check=True,
+        ).stdout.strip()
+        for _ in range(2)
+    }
+    assert len(outs) == 1, f"tone fixture differs across processes: {outs}"
+
+
 def test_split_loading(fake_dataset):
     split = StackGanSplit(fake_dataset, "train")
     assert len(split) == N_IMG

@@ -86,6 +86,14 @@ def test_export_roundtrip_matches_live_pipeline(tmp_path):
     want = pipe.generate(wav, lens, seed=3, output_dtype="uint8")
     assert got.dtype == np.uint8
     np.testing.assert_array_equal(got, want)
+    # drop-in contract extends to seeds the live pipeline accepts: a
+    # negative seed must not raise from the artifact's uint32 chunk-seed
+    # derivation (NumPy 2 rejects np.uint32(-1)); -1 & 0xFFFFFFFF folds to
+    # int32 -1 == the live pipeline's key(-1)
+    np.testing.assert_array_equal(
+        loaded.generate(wav, lens, seed=-1),
+        pipe.generate(wav, lens, seed=-1, output_dtype="uint8"),
+    )
 
 
 def test_export_batch_padding(tmp_path):

@@ -305,6 +305,14 @@ def test_speech_to_image_pipeline(tmp_path):
     assert u8.dtype == np.uint8
     np.testing.assert_array_equal(u8, to_uint8(imgs))
 
+    # out-of-range stage is rejected, not silently wrapped to stage 0
+    # (stage=BRANCH_NUM would otherwise serve the lowest resolution)
+    branch = int(cfg.TREE.BRANCH_NUM)
+    with pytest.raises(ValueError, match="stage"):
+        pipe.generate(wav, seed=3, stage=branch)
+    with pytest.raises(ValueError, match="stage"):
+        pipe.generate(wav, seed=3, stage=-branch - 1)
+
     # file path
     wp = str(tmp_path / "a.wav")
     write_wav(wp, wav[0], 16000)
@@ -477,6 +485,32 @@ def test_http_serving_roundtrip(tmp_path):
 
         img = Image.open(io.BytesIO(png))
         assert img.size == (64, 64)
+
+        def post_wav(width, payload):
+            import wave as _wave
+
+            b = io.BytesIO()
+            with _wave.open(b, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(width)
+                w.setframerate(16000)
+                w.writeframes(payload)
+            rq = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=b.getvalue(),
+                method="POST",
+            )
+            with urllib.request.urlopen(rq, timeout=120) as r:
+                return np.asarray(Image.open(io.BytesIO(r.read())), np.int16)
+
+        # int32-PCM body is accepted end-to-end and matches the PCM16 post
+        # up to quantization (sample-level decode correctness — the old
+        # width==4 float32 reinterpretation collapsing int32 to ~1e-40
+        # silence — is asserted in tests/test_data.py::test_wavio_pcm_widths;
+        # an untrained tiny model is too audio-insensitive to see it in
+        # pixels, so this covers the HTTP route, not the decode math)
+        img16 = post_wav(2, (wav * 32767).astype("<i2").tobytes())
+        img32 = post_wav(4, (wav * 2147483647).astype("<i4").tobytes())
+        assert np.abs(img32 - img16).max() <= 2  # 16- vs 32-bit quantization
     finally:
         srv.shutdown()
 

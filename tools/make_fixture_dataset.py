@@ -27,6 +27,12 @@ def main():
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
+    if args.per_class < 2:
+        p.error(
+            "--per_class must be >= 2: the last item of each class goes to "
+            "the test split, the rest to train (per_class=1 would leave the "
+            "train split empty)"
+        )
     from PIL import Image
 
     rng = np.random.default_rng(args.seed)

@@ -23,6 +23,7 @@ import pickle
 import shlex
 import subprocess
 import sys
+import zlib
 
 import numpy as np
 
@@ -31,15 +32,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from s2i_tpu.audio.wavio import write_wav  # noqa: E402
 
 
+def _stable_hash(text: str) -> int:
+    # built-in hash() is salted per process (PYTHONHASHSEED), which made
+    # "deterministic" fixtures differ on every run; crc32 is stable.
+    return zlib.crc32(text.encode("utf-8"))
+
+
 def tone_synthesize(text: str, sample_rate: int, seconds: float = 3.0) -> np.ndarray:
     """Deterministic text-dependent tone sequence — a fixture generator so the
     full pipeline (frontend → encoder → GAN) runs end-to-end without TTS."""
-    rng = np.random.default_rng(abs(hash(text)) % (2**32))
+    rng = np.random.default_rng(_stable_hash(text))
     n = int(sample_rate * seconds)
     t = np.arange(n) / sample_rate
     out = np.zeros(n, np.float32)
     for word in text.split()[:12]:
-        f = 200.0 + (abs(hash(word)) % 2000)
+        f = 200.0 + (_stable_hash(word) % 2000)
         start = rng.integers(0, max(1, n - sample_rate // 4))
         dur = sample_rate // 4
         seg = slice(int(start), int(start) + dur)
