@@ -192,9 +192,13 @@ def frames_valid_mask(
     wav_len: jax.Array, p: FrontendParams, max_frames: int
 ) -> jax.Array:
     """Valid-frame mask [B, max_frames] from per-utterance sample counts —
-    frame i is real iff its window fits inside the unpadded signal."""
+    frame i is real iff its window fits inside the signal as framed, i.e.
+    including the reflect padding when ``p.center`` (mirrors
+    ``FrontendParams.num_frames``: without the pad term, center mode would
+    wrongly invalidate the last ~win/hop real frames of every utterance)."""
     idx = jnp.arange(max_frames)
-    return idx[None, :] * p.hop_length + p.win_length <= wav_len[:, None]
+    eff_len = wav_len + (2 * (p.win_length // 2) if p.center else 0)
+    return idx[None, :] * p.hop_length + p.win_length <= eff_len[:, None]
 
 
 def normalize_features(
@@ -303,17 +307,27 @@ def extract_features(
         # after tracing, outside the try/except below. The auto path
         # therefore AOT-compiles the kernel standalone once per
         # (geometry, wav shape) and falls back to jnp if the backend
-        # refuses; an explicit use_pallas=True skips the probe and lets
-        # the error surface (the caller asked for the kernel).
+        # refuses; an explicit use_pallas=True skips the probe but still
+        # falls back (with a warning) on the kernel's own geometry
+        # pre-check — the frontend may never hard-fail on a valid cfg
+        # (tests/test_frontend.py pins this contract).
         use_pallas = _fused_kernel_compiles(wav.shape, wav.dtype, p)
     if use_pallas:
         from s2i_tpu.ops import mel_kernel
 
         try:
             feats = mel_kernel.logmel_pallas_fused(wav, p)
-        except ValueError:
+        except ValueError as e:
             # exotic frame geometry the fused kernel rejects (e.g.
-            # n_fft/hop > 9): fall back to the jnp formulation
+            # n_fft/hop > 9): fall back to the jnp formulation. Warn when
+            # the caller FORCED the kernel so a pinned-kernel benchmark
+            # can't silently measure the jnp path as "fused".
+            if not auto:
+                logging.warning(
+                    "use_pallas=True but the fused mel kernel rejected "
+                    "this geometry (%s); computing the jnp path instead",
+                    e,
+                )
             use_pallas = False
         else:
             if p.feature == "mfcc":

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import datetime
+import json
 import os
 import time
 
@@ -291,20 +292,12 @@ def run_sampling(cfg) -> str:
         if bool(cfg.TRAIN.JOINT_FT)
         else gan_batch_factory(cfg)
     )
+    # GanTrainer.__init__ already warm-starts from cfg.TRAIN.NET_G (and
+    # raises FileNotFoundError when it has no checkpoint) — restoring it
+    # again here paid a second full Orbax restore of the entire train state
+    # on every sample invocation.
     trainer = GanTrainer(cfg, run_dir, factory)
     try:
-        # restore G from cfg.TRAIN.NET_G if given (dir of orbax ckpts)
-        if cfg.TRAIN.NET_G:
-            from s2i_tpu.utils import CheckpointManager
-
-            mgr = CheckpointManager(cfg.TRAIN.NET_G)
-            restored = mgr.restore_latest(trainer.state)
-            if restored is None:
-                raise FileNotFoundError(
-                    f"no checkpoint under {cfg.TRAIN.NET_G}"
-                )
-            trainer.state = restored[0]
-            mgr.close()
         out_dir = os.path.join(run_dir, "samples")
         trainer.sample_to_dir(
             np.asarray(emb, np.float32),
@@ -377,13 +370,21 @@ def speech_batch_factory(cfg, use_pallas: bool | None = None):
     return factory
 
 
-def run_encoder_pretrain(cfg, epochs: int | None = None) -> dict:
+def run_encoder_pretrain(
+    cfg, epochs: int | None = None, run_dir: str | None = None
+) -> dict:
+    """``epochs`` counts TOTAL epochs (reference MAX_EPOCH semantics, like
+    GanTrainer.train): pass an EXISTING ``run_dir`` to resume — the loop
+    restores the latest checkpoint and continues from the epoch recorded in
+    the progress sidecar instead of re-running the consumed prefix. (The
+    CLI always makes a fresh dir, same contract as the GAN path.)"""
     import jax
 
     from s2i_tpu.train import encoder as enc_train
     from s2i_tpu.utils import CheckpointManager, ScalarLogger
 
-    run_dir = make_run_dir(cfg, "encoder")
+    run_dir = run_dir or make_run_dir(cfg, "encoder")
+    prog_path = os.path.join(run_dir, "train_progress.json")
     model = enc_train.build_encoder(cfg)
     factory = speech_batch_factory(cfg)
     first = next(iter(factory(0)))
@@ -392,9 +393,15 @@ def run_encoder_pretrain(cfg, epochs: int | None = None) -> dict:
     )
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
     restored = ckpt.restore_latest(state)
+    start_epoch = 0
     if restored is not None:
         state, step0 = restored
-        print(f"resumed from step {step0}")
+        try:
+            with open(prog_path) as f:
+                start_epoch = int(json.load(f).get("epoch", 0))
+        except (OSError, ValueError):
+            start_epoch = 0  # no sidecar: replay from the first epoch
+        print(f"resumed from step {step0} (epoch {start_epoch})")
     logger = ScalarLogger(
         run_dir,
         use_tensorboard=bool(getattr(cfg.TRAIN, "TENSORBOARD", False)),
@@ -429,7 +436,17 @@ def run_encoder_pretrain(cfg, epochs: int | None = None) -> dict:
     t0, seen = time.time(), 0
     from s2i_tpu.data.pipeline import prefetch
 
-    for epoch in range(epochs or int(cfg.ENCODER.EPOCHS)):
+    def write_progress(epoch_done: int) -> None:
+        # tmp + rename like GanTrainer._write_progress: a torn write must
+        # not corrupt resume. Mid-epoch snapshots record the CURRENT epoch
+        # (resume replays it from the start — the encoder loop does not
+        # promise mid-epoch bitwise resume); epoch-end saves record the next.
+        tmp = prog_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch_done, "step": step}, f)
+        os.replace(tmp, prog_path)
+
+    for epoch in range(start_epoch, epochs or int(cfg.ENCODER.EPOCHS)):
         # Host wav IO + frontend dispatch + shard/transfer run in the
         # prefetch worker so they overlap the previous step's device
         # compute (same pattern as GanTrainer.train; depth 2 because raw
@@ -445,8 +462,10 @@ def run_encoder_pretrain(cfg, epochs: int | None = None) -> dict:
                 logger.log(step, scalars)
                 t0, seen = time.time(), 0
             if snapshot and step % snapshot == 0:
-                ckpt.save(step, state)
-        ckpt.save(step, state)
+                if ckpt.save(step, state):
+                    write_progress(epoch)
+        if ckpt.save(step, state):
+            write_progress(epoch + 1)
     ckpt.wait()
     ckpt.close()
     logger.close()

@@ -341,7 +341,18 @@ def apply_overrides(cfg_tree: AttrDict, overrides: list[str]) -> AttrDict:
         parts = key.strip().split(".")
         for p in parts[:-1]:
             node = node[p]
-        node[parts[-1]] = yaml.safe_load(raw)
+        leaf = parts[-1]
+        val = yaml.safe_load(raw)
+        # same typo guard as the YAML merge path (_merge_into): the CLI is
+        # MORE typo-prone than a config file, so --set TRAIN.OPTIMIZER=1
+        # must fail here, not crash far from the flag
+        if leaf in node and not _types_compatible(node[leaf], val):
+            raise TypeError(
+                f"override {key.strip()}: expected "
+                f"{type(node[leaf]).__name__}, got {type(val).__name__} "
+                f"({val!r})"
+            )
+        node[leaf] = val
     return cfg_tree
 
 

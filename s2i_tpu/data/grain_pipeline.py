@@ -26,21 +26,27 @@ class _GanSource:
         base_size: int,
         image_dtype: str = "float32",
         ship_scales: str = "all",
+        seed: int = 0,
     ):
         self.split = split
         self.branch_num = branch_num
         self.base_size = base_size
         self.image_dtype = image_dtype
         self.ship_scales = ship_scales
+        self.seed = seed
 
     def __len__(self) -> int:
         return len(self.split)
 
     def __getitem__(self, i: int) -> dict:
         i = int(i)
-        # Per-example rng derived from the index keeps the transform
-        # deterministic under Grain's record shuffling and worker sharding.
-        rng = np.random.default_rng(i * 2654435761 % (2**32))
+        # Per-example rng keyed by (pipeline seed, index): deterministic
+        # under Grain's record shuffling and worker sharding, but — because
+        # the factory passes seed=SEED+epoch — the crop/flip augmentation
+        # and the caption choice re-draw every epoch. (Keying by index alone
+        # froze both for the whole run: with 10 captions/image, 90% of
+        # captions were never trained on through this pipeline.)
+        rng = np.random.default_rng([self.seed, i])
         top = self.base_size * 2 ** (self.branch_num - 1)
         img = self.split.load_image(i, top, rng, dtype=self.image_dtype)
         scales = (
@@ -79,7 +85,9 @@ def make_grain_gan_dataset(
     ship_scales: str = "all",
 ):
     """Returns a grain.IterDataset of trainer-ready batch dicts."""
-    src = _GanSource(split, branch_num, base_size, image_dtype, ship_scales)
+    src = _GanSource(
+        split, branch_num, base_size, image_dtype, ship_scales, seed=seed
+    )
     ds = grain.MapDataset.source(src)
     if shuffle:
         ds = ds.shuffle(seed=seed)

@@ -15,35 +15,68 @@ from typing import Any, Callable, Iterable, Iterator
 
 class Prefetcher:
     """Wrap an iterable: produce items in a daemon thread, buffer up to
-    ``depth`` items ahead. Exceptions propagate to the consumer."""
+    ``depth`` items ahead. Exceptions propagate to the consumer.
+
+    The consumer may stop early (``max_steps`` windows, SIGTERM): the
+    iterator's ``finally`` calls :meth:`close`, which tells the producer to
+    stop instead of blocking forever in ``put`` — otherwise every
+    interrupted epoch would strand a thread pinning ``depth`` decoded
+    (and possibly device_put) batches for the life of the process."""
 
     _DONE = object()
 
     def __init__(self, iterable: Iterable, depth: int = 4):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: list[BaseException] = []
+        self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._run, args=(iterable,), daemon=True
         )
         self._thread.start()
 
+    def _put(self, item: Any) -> bool:
+        """Blocking put that aborts when the consumer closed us."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _run(self, iterable: Iterable) -> None:
         try:
             for item in iterable:
-                self._q.put(item)
+                if not self._put(item):
+                    return  # consumer gone: drop in-flight work, exit
         except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
             self._err.append(e)
         finally:
-            self._q.put(self._DONE)
+            # must block (with the same stop check): dropping _DONE when the
+            # queue is momentarily full would leave the consumer waiting in
+            # get() forever after it drains the buffered items
+            self._put(self._DONE)
+
+    def close(self) -> None:
+        """Idempotent: stop the producer and release buffered items."""
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
 
     def __iter__(self) -> Iterator:
-        while True:
-            item = self._q.get()
-            if item is self._DONE:
-                if self._err:
-                    raise self._err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = self._q.get()
+                if item is self._DONE:
+                    if self._err:
+                        raise self._err[0]
+                    return
+                yield item
+        finally:
+            self.close()
 
 
 def prefetch(iterable: Iterable, depth: int = 4) -> Iterator:

@@ -77,20 +77,24 @@ class SyntheticGanDataset:
 
     def batch(self, idx: np.ndarray) -> dict:
         top = self.images_top[idx]
-        factor = 2 ** (self.branch_num - 1)
-        images = []
-        for _ in range(self.branch_num):
-            if factor == 1:
-                images.append(top)
-            else:
-                images.append(
-                    np.stack([_downscale(im, factor) for im in top]).astype(
-                        np.float32
-                    )
-                )
-            factor //= 2
         if self.ship_scales == "top":
-            images = images[-1:]
+            # the device derives the pyramid (DATA.SHIP_SCALES="top"): don't
+            # pay branch_num-1 per-image host downscales just to drop them —
+            # the loop benchmark on this 1-core host measures the thin path
+            images = [top]
+        else:
+            factor = 2 ** (self.branch_num - 1)
+            images = []
+            for _ in range(self.branch_num):
+                if factor == 1:
+                    images.append(top)
+                else:
+                    images.append(
+                        np.stack(
+                            [_downscale(im, factor) for im in top]
+                        ).astype(np.float32)
+                    )
+                factor //= 2
         if self.image_dtype == "uint8":
             images = [
                 ((im + 1.0) * 127.5 + 0.5).clip(0, 255).astype(np.uint8)

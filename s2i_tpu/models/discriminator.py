@@ -121,7 +121,18 @@ class DNetBase(nn.Module):
             self.df_dim, self.b_condition, self.dtype, self.axis_name
         )
 
+    def _check_c(self, c):
+        # the conditional head infers its width from c at trace time, so a
+        # cfg↔tensor mismatch would silently build a differently-shaped
+        # head; fail fast against the declared ef_dim instead
+        if c is not None and c.shape[-1] != self.ef_dim:
+            raise ValueError(
+                f"condition dim {c.shape[-1]} != ef_dim {self.ef_dim} "
+                "(GAN.EMBEDDING_DIM)"
+            )
+
     def __call__(self, img, c=None, train: bool = True):
+        self._check_c(c)
         return self.heads(self.trunk(img, train), c, train)
 
     def train_logits(self, real, fake, c, c_wrong, train: bool = True):
@@ -131,6 +142,8 @@ class DNetBase(nn.Module):
         cond_fake, uncond_fake); uncond_wrong aliases uncond_real because the
         wrong *pair* reuses the real image (reference pairs real images with
         shifted embeddings)."""
+        self._check_c(c)
+        self._check_c(c_wrong)
         if self.trunk_batch and self.b_condition and c is not None:
             b = real.shape[0]
             code2 = self.trunk(

@@ -153,11 +153,15 @@ class SpeechEncoder(nn.Module):
 
         m = mask[:, :, None].astype(jnp.float32)
         xf = x.astype(jnp.float32)
-        denom = jnp.maximum(m.sum(axis=1), 1.0)
+        nvalid = m.sum(axis=1)  # pre-clamp: 0 for an all-masked utterance
+        denom = jnp.maximum(nvalid, 1.0)
         mean = (xf * m).sum(axis=1) / denom
         neg_inf = jnp.asarray(-1e30, jnp.float32)
         mx = jnp.where(m > 0, xf, neg_inf).max(axis=1)
-        mx = jnp.where(denom > 0, mx, 0.0)
+        # guard on the UNclamped count (denom >= 1 always): an all-masked
+        # row (wav shorter than one window, padding row in a partial batch)
+        # must pool to 0, not -1e30
+        mx = jnp.where(nvalid > 0, mx, 0.0)
         if self.pool == "mean":
             pooled = mean
         elif self.pool == "max":

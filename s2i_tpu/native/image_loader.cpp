@@ -78,10 +78,13 @@ void crop_region(const float* bb, float sx, float sy, int w, int h, int& x0,
   if (bw > 0 && bh > 0) {
     float cx = bx + bw / 2, cy = by + bh / 2;
     int r = static_cast<int>(fmaxf(bw, bh) * 0.75f);
-    x0 = std::max(0, static_cast<int>(cx) - r);
-    y0 = std::max(0, static_cast<int>(cy) - r);
-    x1 = std::min(w, static_cast<int>(cx) + r);
-    y1 = std::min(h, static_cast<int>(cy) + r);
+    // keep the region non-empty and inside the frame even for degenerate
+    // bboxes (r == 0, or a center outside the image): sample taps clamp to
+    // [x0, x1) so x1 > x0 must hold
+    x0 = std::min(std::max(0, static_cast<int>(cx) - r), w - 1);
+    y0 = std::min(std::max(0, static_cast<int>(cy) - r), h - 1);
+    x1 = std::min(w, std::max(static_cast<int>(cx) + r, x0 + 1));
+    y1 = std::min(h, std::max(static_cast<int>(cy) + r, y0 + 1));
   }
 }
 
@@ -174,15 +177,21 @@ void sample_crop_resize(const uint8_t* src, int sw, int sh, int x0, int y0,
     float fx = x0 + (sx + 0.5f) * rw - 0.5f;
     int ix = static_cast<int>(floorf(fx));
     wxt[x] = fx - ix;
-    ix0t[x] = ix < 0 ? 0 : (ix >= sw ? sw - 1 : ix);
-    ix1t[x] = ix + 1 < 0 ? 0 : (ix + 1 >= sw ? sw - 1 : ix + 1);
+    // taps clamp to the CROP REGION, not the full decoded image: the PIL
+    // path (stackgan.pil_load_transform) crops first and resizes the
+    // cropped array, so its edge taps replicate the crop border — clamping
+    // to [0, sw) here would sample pixels outside the bbox at region edges
+    // and diverge from the "matches load_image" contract (no-bbox calls
+    // have x0=0, x1=sw: identical either way)
+    ix0t[x] = ix < x0 ? x0 : (ix >= x1 ? x1 - 1 : ix);
+    ix1t[x] = ix + 1 < x0 ? x0 : (ix + 1 >= x1 ? x1 - 1 : ix + 1);
   }
   for (int y = 0; y < imsize; ++y) {
     float fy = y0 + (oy + y + 0.5f) * rh - 0.5f;
     int iy = static_cast<int>(floorf(fy));
     float wy = fy - iy;
-    int iy0 = iy < 0 ? 0 : (iy >= sh ? sh - 1 : iy);
-    int iy1 = iy + 1 < 0 ? 0 : (iy + 1 >= sh ? sh - 1 : iy + 1);
+    int iy0 = iy < y0 ? y0 : (iy >= y1 ? y1 - 1 : iy);
+    int iy1 = iy + 1 < y0 ? y0 : (iy + 1 >= y1 ? y1 - 1 : iy + 1);
     const uint8_t* r0 = src + static_cast<size_t>(iy0) * sw * 3;
     const uint8_t* r1 = src + static_cast<size_t>(iy1) * sw * 3;
     float* out = top + static_cast<size_t>(y) * imsize * 3;

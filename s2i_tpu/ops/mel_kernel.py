@@ -234,7 +234,14 @@ def logmel_pallas_fused(
     n_blocks = -(-n_frames // block_frames)
     frames_pad = n_blocks * block_frames
     need = (frames_pad + 8) * hop  # + the 8-row tail block past the end
-    wav = jnp.pad(wav, ((0, 0), (0, need - n_samples)))
+    if need >= n_samples:
+        wav = jnp.pad(wav, ((0, 0), (0, need - n_samples)))
+    else:
+        # need < n_samples is possible when rows_per_frame == 9 and
+        # n_frames lands exactly on a block boundary; every frame's window
+        # still ends by (n_frames-1)*hop + span <= need, so the surplus
+        # samples are unused — truncate instead of jnp.pad(negative)
+        wav = wav[:, :need]
     wav_rows = wav.reshape(b, need // hop, hop)
 
     bins_pad = _round_up(p.n_bins, 128)

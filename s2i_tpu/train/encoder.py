@@ -100,6 +100,10 @@ def make_encoder_train_step(
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             mets = jax.lax.pmean(mets, axis_name)
+            # the returned dict flows through a replicated (P()) out_spec:
+            # loss must be the global mean like the mets it sits next to,
+            # not one device's local-shard value
+            loss = jax.lax.pmean(loss, axis_name)
         upd, opt_new = tx.update(grads, state.opt, state.params)
         params_new = optax.apply_updates(state.params, upd)
         new_state = state.replace(

@@ -274,6 +274,10 @@ class GanTrainer:
         debug_nans = bool(cfg.TRAIN.DEBUG_NANS)
         profile_dir = str(cfg.TRAIN.PROFILE_DIR)
         profiling = False
+        # Trace a RELATIVE window (5 steps after this session's first 5, so
+        # compile + warmup are excluded): an absolute `step == 5` trigger
+        # never fires on resumed runs, whose host mirror starts past 5.
+        profile_at = int(self.state.step) + 5
         # Host-side step mirror: int(self.state.step) is a device→host sync
         # that would serialize dispatch every iteration; sync only on
         # log/grid/snapshot boundaries instead (the jitted step advances the
@@ -317,10 +321,10 @@ class GanTrainer:
                         raise FloatingPointError(
                             f"non-finite metrics at step {step}: {bad}"
                         )
-                if profile_dir and step == 5 and not profiling:
+                if profile_dir and step == profile_at and not profiling:
                     jax.profiler.start_trace(profile_dir)
                     profiling = True
-                elif profiling and step == 10:
+                elif profiling and step >= profile_at + 5:
                     jax.block_until_ready(self.state)
                     jax.profiler.stop_trace()
                     profiling = False
@@ -345,6 +349,11 @@ class GanTrainer:
                     print(f"SIGTERM: checkpointing at step {step}")
                 break
             self._progress = {"epoch": epoch + 1, "step_in_epoch": 0}
+        if profiling:
+            # run ended inside the trace window (max_steps/SIGTERM): close
+            # the trace so it isn't lost with the process
+            jax.block_until_ready(self.state)
+            jax.profiler.stop_trace()
         if prev_handler is not None:
             import signal
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import math
 import os
 import time
 from typing import Any, Iterator
@@ -32,7 +33,16 @@ class ScalarLogger:
 
     def log(self, step: int, scalars: dict[str, Any]) -> None:
         rec = {"step": int(step), "time": time.time()}
-        rec.update({k: float(v) for k, v in scalars.items()})
+        # non-finite values (a diverging d_loss=NaN is exactly when the log
+        # matters) serialize as strings: bare NaN/Infinity tokens are not
+        # valid JSON and strict parsers reject the whole line
+        rec.update(
+            {
+                k: (f if math.isfinite(f) else str(f))
+                for k, v in scalars.items()
+                for f in (float(v),)
+            }
+        )
         self._f.write(json.dumps(rec) + "\n")
         if self._tb is not None:
             import tensorflow as tf

@@ -47,6 +47,16 @@ def test_apply_overrides_nested():
     assert c.TRAIN.FLAG is False
     with pytest.raises(ValueError):
         config.apply_overrides(c, ["NO_EQUALS_SIGN"])
+    # same typo guard as the YAML merge path: a CLI --set installing the
+    # wrong TYPE fails at the flag, not far from it (bool↔float, int↔str)
+    with pytest.raises(TypeError):
+        config.apply_overrides(c, ["TRAIN.ADAM_BETA1=true"])
+    with pytest.raises(TypeError):
+        config.apply_overrides(c, ["TRAIN.NET_G=1"])
+    # legitimate cross-type overrides still pass: int→float promotion and
+    # the "auto"↔bool tri-state perf levers
+    config.apply_overrides(c, ["TRAIN.COEFF.KL=3", "GAN.S2D=true"])
+    assert c.TRAIN.COEFF.KL == 3 and c.GAN.S2D is True
 
 
 def test_dump_roundtrip(tmp_path):

@@ -218,6 +218,35 @@ def test_grain_pipeline(fake_dataset):
     np.testing.assert_array_equal(b["embedding"], b2["embedding"])
 
 
+def test_grain_source_redraws_augmentation_per_epoch(fake_dataset):
+    """The factory passes seed=SEED+epoch: the per-example transform must
+    RE-DRAW crop/flip and the caption choice each epoch (regression: the
+    rng was keyed by index alone, freezing one caption of 10 and one
+    augmentation per image for the entire run)."""
+    from s2i_tpu.data.grain_pipeline import _GanSource
+
+    split = StackGanSplit(fake_dataset, "train")
+    a = _GanSource(split, 2, 64, seed=0)
+    b = _GanSource(split, 2, 64, seed=1)
+    a2 = _GanSource(split, 2, 64, seed=0)
+    # same seed → byte-identical example (Grain determinism contract)
+    ea, ea2 = a[0], a2[0]
+    np.testing.assert_array_equal(ea["images"][-1], ea2["images"][-1])
+    np.testing.assert_array_equal(ea["embedding"], ea2["embedding"])
+    # across epochs (different seeds) SOME example must see a different
+    # caption and a different crop/flip
+    diff_cap = any(
+        not np.array_equal(a[i]["embedding"], b[i]["embedding"])
+        for i in range(len(split))
+    )
+    diff_img = any(
+        not np.array_equal(a[i]["images"][-1], b[i]["images"][-1])
+        for i in range(len(split))
+    )
+    assert diff_cap, "caption choice frozen across epochs"
+    assert diff_img, "augmentation frozen across epochs"
+
+
 def test_embedding_extraction_writes_consumable_pickles(fake_dataset, tmp_path):
     """SURVEY.md §3.2: pretrained encoder -> speech-embeddings.pickle for
     BOTH splits -> GAN dataset consumes them via TEXT.EMBEDDING_FILE. This

@@ -192,6 +192,47 @@ def test_extract_features_end_to_end():
     assert abs(float(feats[0][np.asarray(mask[0])].mean())) < 1e-3
 
 
+def test_frames_valid_mask_center_counts():
+    """frames_valid_mask must agree with FrontendParams.num_frames in BOTH
+    center modes: with center=True the signal is reflect-padded by win//2
+    per side before framing, so the mask condition must use the padded
+    length (regression: it used the raw wav_len, invalidating the last
+    ~win/hop real frames of every utterance)."""
+    from s2i_tpu.audio.frontend import frames_valid_mask
+
+    for center in (False, True):
+        p = FrontendParams(max_frames=64, center=center)
+        for wav_len in (3200, 6399, 6400, 399):
+            mask = frames_valid_mask(
+                jnp.asarray([wav_len], jnp.int32), p, p.max_frames
+            )
+            got = int(np.asarray(mask).sum())
+            want = min(p.num_frames(wav_len), p.max_frames)
+            assert got == want, (center, wav_len, got, want)
+
+
+def test_fused_kernel_exact_block_boundary_truncation():
+    """rows_per_frame == 9 with n_frames an exact block multiple makes the
+    kernel's padded sample budget SMALLER than the input (the 8-row tail
+    already covers the last window) — this must truncate, not crash in
+    jnp.pad with a negative width. Interpret mode on CPU; numerics vs jnp."""
+    from s2i_tpu.ops.mel_kernel import logmel_pallas_fused
+
+    p = FrontendParams(
+        win_length=870, hop_length=100, n_fft=870, max_frames=256
+    )
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((1, 26469)).astype(np.float32))
+    # n_frames = 1 + (26469-870)//100 = 256; need = (256+8)*100 < 26469
+    got = logmel_pallas_fused(wav, p)
+    want = logmel_jnp(wav, p)
+    assert got.shape[1] >= want.shape[1]
+    np.testing.assert_allclose(
+        np.asarray(got)[:, : want.shape[1]], np.asarray(want),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_frontend_params_from_cfg():
     c = config.default_cfg()
     p = frontend_params_from_cfg(c.AUDIO)

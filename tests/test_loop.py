@@ -423,6 +423,45 @@ def test_joint_training_cli_with_encoder_warmstart(tmp_path):
     assert "distill_mse" in mets
 
 
+def test_encoder_pretrain_resume_counts_total_epochs(tmp_path):
+    """run_encoder_pretrain(epochs=N, run_dir=existing) resumes from the
+    progress sidecar and treats N as TOTAL epochs (GanTrainer.train
+    semantics) — a resumed run finishes the remainder instead of
+    re-running the consumed prefix (regression: it restarted at epoch 0
+    and trained N more)."""
+    from s2i_tpu import cli
+
+    cfg = tiny_cfg()
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.ENCODER.CONV_CHANNELS = [8]
+    cfg.ENCODER.RNN_HIDDEN = 8
+    cfg.ENCODER.N_CLASSES = 8
+    cfg.ENCODER.BATCH_SIZE = 16
+    cfg.AUDIO.N_MELS = 8
+    cfg.AUDIO.MAX_FRAMES = 32
+    cfg.MESH.NUM_DEVICES = 1
+    cfg.ENCODER.LOG_EVERY = 0
+    cfg.ENCODER.SNAPSHOT_INTERVAL = 0
+
+    run_dir = str(tmp_path / "enc_run")
+    os.makedirs(run_dir)
+    cli.run_encoder_pretrain(cfg, epochs=1, run_dir=run_dir)
+    prog = json.load(open(os.path.join(run_dir, "train_progress.json")))
+    assert prog["epoch"] == 1
+    spe = prog["step"]  # steps per epoch at this dataset/batch size
+    assert spe > 0
+
+    # resume for a 2-epoch TOTAL: exactly one more epoch runs
+    cli.run_encoder_pretrain(cfg, epochs=2, run_dir=run_dir)
+    prog = json.load(open(os.path.join(run_dir, "train_progress.json")))
+    assert prog["epoch"] == 2 and prog["step"] == 2 * spe
+
+    # already complete: a third call is a no-op
+    cli.run_encoder_pretrain(cfg, epochs=2, run_dir=run_dir)
+    prog = json.load(open(os.path.join(run_dir, "train_progress.json")))
+    assert prog["epoch"] == 2 and prog["step"] == 2 * spe
+
+
 def test_http_serving_roundtrip(tmp_path):
     """Spin up the HTTP server on a random port, POST a wav, get a PNG."""
     import io

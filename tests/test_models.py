@@ -125,6 +125,16 @@ def test_speech_encoder_shapes_and_mask_invariance():
         np.asarray(emb[1]), np.asarray(emb2[1]), rtol=2e-3, atol=2e-3
     )
 
+    # An ALL-masked row (wav shorter than one window / padding row in a
+    # partial batch) must pool to a sane embedding, not blow up through the
+    # -1e30 masked-max sentinel (regression: the guard used the clamped
+    # denominator, which is never 0).
+    mask3 = jnp.asarray(np.array([[1] * 64, [0] * 64], dtype=bool))
+    (emb3, _), _ = enc.apply(variables, feats, mask3, mutable=["batch_stats"])
+    emb3 = np.asarray(emb3)
+    assert np.isfinite(emb3).all()
+    assert np.abs(emb3[1]).max() < 1e6, "all-masked row leaked -1e30 sentinel"
+
 
 def test_gru_matches_torch_oracle():
     """Cross-check the scan GRU against torch.nn.GRU with transplanted

@@ -90,6 +90,62 @@ def test_native_bbox_crop_changes_output(jpeg_dir):
     assert not np.allclose(a[0], b[0])
 
 
+def test_native_matches_pil_bbox_crop(jpeg_dir):
+    """The 'matches stackgan.load_image' contract must hold WITH a bbox:
+    PIL crops first and resizes the cropped array, so its edge taps
+    replicate the crop border — the native fused pass must clamp its taps
+    to the crop region too (regression: it clamped to the full frame,
+    sampling pixels outside the bbox at region edges)."""
+    from s2i_tpu.data.stackgan import pil_load_transform
+
+    imsize = 64
+    bb = np.array([[40, 30, 120, 160]] * 2, np.float32)
+    outs, failed = native.load_batch(
+        jpeg_dir[:2], bb, imsize, 1, seed=0, augment=False
+    )
+    assert failed == 0
+    for j, p in enumerate(jpeg_dir[:2]):
+        ref = pil_load_transform(
+            p, imsize, rng=None, bbox=tuple(bb[j]), flip_and_crop=False
+        )
+        diff = np.abs(outs[0][j] - np.asarray(ref, np.float32))
+        assert diff.mean() < 0.02, diff.mean()
+        # border rows/cols are exactly where full-frame tap clamping leaked
+        # out-of-bbox pixels — hold them to the same tolerance explicitly
+        border = np.concatenate(
+            [diff[0], diff[-1], diff[:, 0], diff[:, -1]]
+        )
+        assert border.mean() < 0.03, border.mean()
+
+
+def test_prefetch_early_exit_stops_producer():
+    """A consumer that stops early (max_steps window, SIGTERM) must release
+    the producer: it previously blocked forever in q.put, pinning buffered
+    batches for the life of the process."""
+    import threading
+
+    from s2i_tpu.data.pipeline import Prefetcher
+
+    produced = []
+    done = threading.Event()
+
+    def src():
+        for i in range(10_000):
+            produced.append(i)
+            yield i
+        done.set()
+
+    pf = Prefetcher(src(), depth=2)
+    it = iter(pf)
+    assert next(it) == 0 and next(it) == 1
+    it.close()  # generator finally → Prefetcher.close()
+    pf._thread.join(5.0)
+    assert not pf._thread.is_alive(), "producer still running after close"
+    assert not done.is_set() and len(produced) < 100, (
+        "producer kept consuming the source after the consumer left"
+    )
+
+
 def test_native_failure_reported(tmp_path, jpeg_dir):
     bad = str(tmp_path / "not_a_jpeg.jpg")
     with open(bad, "wb") as f:
