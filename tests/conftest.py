@@ -10,12 +10,18 @@ a corrected environment.
 """
 
 import os
+import re
 import sys
 
 _FLAG = "--xla_force_host_platform_device_count=8"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " " + _FLAG).strip()
+elif not re.search(r"xla_force_host_platform_device_count=8\b", flags):
+    # correct a pre-set WRONG count instead of failing the 8-device check
+    os.environ["XLA_FLAGS"] = re.sub(
+        r"--?xla_force_host_platform_device_count=\d+", _FLAG, flags
+    )
 
 import jax  # noqa: E402  (already imported by sitecustomize anyway)
 
@@ -29,6 +35,17 @@ if jax.default_backend() != "cpu" or len(jax.devices()) != 8:
         raise RuntimeError(
             f"tests need an 8-device CPU mesh, got {jax.default_backend()} "
             f"x{len(jax.devices())} even after re-exec"
+        )
+    if jax.default_backend() != "cpu":
+        # A NON-cpu backend is initialized in THIS process: it may hold a
+        # TPU relay grant, and execve replaces the image with no teardown —
+        # the "killed client wedges the pool for 30-60 min" failure
+        # CLAUDE.md forbids. Fail with instructions instead of re-execing.
+        raise RuntimeError(
+            f"a {jax.default_backend()!r} backend initialized before "
+            "conftest could force CPU (re-exec would abandon a possible "
+            "TPU relay grant). Launch as: PALLAS_AXON_POOL_IPS= "
+            "JAX_PLATFORMS=cpu python -m pytest ..."
         )
     env = dict(os.environ)
     env["S2I_TEST_REEXEC"] = "1"
