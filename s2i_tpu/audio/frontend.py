@@ -64,6 +64,17 @@ class FrontendParams:
     dct: np.ndarray = dataclasses.field(default=None, repr=False, compare=False)
 
     def __post_init__(self):
+        if self.win_length > self.n_fft:
+            # librosa zero-pads the WINDOW up to n_fft but truncating the
+            # frame time-aliases the DFT: windowed_dft_matrices would build
+            # angles for t up to win_length-1 against an n_fft-period basis
+            # (silently different features vs the np.fft oracle), and the
+            # Pallas kernels assume frame rows fit the n_fft span. Fail
+            # fast with the fix instead.
+            raise ValueError(
+                f"win_length={self.win_length} > n_fft={self.n_fft}: raise "
+                "AUDIO.N_FFT to the next power of two >= the window"
+            )
         c, s = filters.windowed_dft_matrices(self.win_length, self.n_fft)
         fb = filters.mel_filterbank(
             self.sample_rate,

@@ -82,10 +82,11 @@ def make_parallel_encoder_step(cfg, model, mesh: Mesh) -> Callable:
     from s2i_tpu.train import encoder as enc_train
 
     axis = str(cfg.MESH.DATA_AXIS)
-    # Rebuild the module with the mesh axis so BN batch statistics are
-    # cross-device means (param/stat trees are unchanged by axis_name, so
-    # the caller's state stays valid).
-    model = enc_train.build_encoder(cfg, axis_name=axis)
+    # Clone the CALLER's module with the mesh axis so BN batch statistics
+    # are cross-device means (param/stat trees are unchanged by axis_name,
+    # so the caller's state stays valid) — clone, not a cfg rebuild, so a
+    # customized encoder module is honored rather than silently replaced.
+    model = model.clone(axis_name=axis)
     step = enc_train.make_encoder_train_step(cfg, model, axis_name=axis)
     sharded = jax.shard_map(
         step,

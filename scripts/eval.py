@@ -5,18 +5,43 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def load_dir(d, limit=None):
-    from PIL import Image
-
+def list_images(d, limit=None):
     paths = sorted(
         glob.glob(os.path.join(d, "**", "*.png"), recursive=True)
         + glob.glob(os.path.join(d, "**", "*.jpg"), recursive=True)
     )[:limit]
     if not paths:
         raise FileNotFoundError(f"no images under {d}")
-    return np.stack(
-        [np.asarray(Image.open(p).convert("RGB"), np.float32) / 127.5 - 1.0 for p in paths]
-    )
+    return paths
+
+
+def extract_dir(ex, d, batch, limit=None, img_size=None):
+    """Stream a directory through the extractor → (pool3, logits, n).
+
+    Decodes per batch-size chunk — the 30k-image IS/FID protocol at 256 px
+    is ~24 GB as a single float32 stack — and normalizes every image to one
+    (H, W) canvas: ``img_size``, or the first image's size. Heterogeneously
+    sized real photo sets (CUB/Oxford) get PIL-bilinear resized to the
+    canvas; uniformly sized generated dirs pass through untouched (the
+    extractor's on-device bilinear resize to 299 px is the only resample,
+    exactly as before)."""
+    from PIL import Image
+
+    paths = list_images(d, limit)
+    pools, logits, size = [], [], None
+    for i in range(0, len(paths), batch):
+        chunk = []
+        for p in paths[i : i + batch]:
+            im = Image.open(p).convert("RGB")
+            if size is None:
+                size = (img_size, img_size) if img_size else (im.height, im.width)
+            if (im.height, im.width) != size:
+                im = im.resize((size[1], size[0]), Image.BILINEAR)
+            chunk.append(np.asarray(im, np.float32) / 127.5 - 1.0)
+        p3, lg = ex.extract(np.stack(chunk), batch)
+        pools.append(p3)
+        logits.append(lg)
+    return np.concatenate(pools), np.concatenate(logits), len(paths)
 
 
 def retrieval_main(args):
@@ -77,6 +102,11 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument(
+        "--img_size", type=int, default=None,
+        help="host-side canvas for heterogeneously sized dirs (default: "
+        "first image's size; uniform dirs are never resampled on host)",
+    )
+    p.add_argument(
         "--json", action="store_true",
         help="print one machine-readable JSON line instead of text",
     )
@@ -122,12 +152,13 @@ def main():
             "batch_stats": restored[0].batch_stats,
         }
     ex = InceptionFeatures(variables, num_classes=num_classes)
-    gen = load_dir(args.gen_dir, args.limit)
     # ONE extractor pass over the generated set: extract() returns pool3 and
     # logits together, so IS (logits) and FID (pool3) share it — calling
     # inception_score + fid_score would run the dominant device pass twice
     # at the 30k-image protocol.
-    gen_pool, gen_logits = ex.extract(gen, args.batch)
+    gen_pool, gen_logits, n_gen = extract_dir(
+        ex, args.gen_dir, args.batch, args.limit, args.img_size
+    )
     gen_logits = gen_logits - gen_logits.max(axis=1, keepdims=True)
     e = np.exp(gen_logits)
     mean, std = inception_score_from_probs(
@@ -136,8 +167,9 @@ def main():
     trained = bool(args.weights or args.finetuned_ckpt)
     fid = None
     if args.real_dir:
-        real = load_dir(args.real_dir, args.limit)
-        real_pool, _ = ex.extract(real, args.batch)
+        real_pool, _, _ = extract_dir(
+            ex, args.real_dir, args.batch, args.limit, args.img_size
+        )
         fid = fid_from_stats(
             *gaussian_stats(gen_pool), *gaussian_stats(real_pool)
         )
@@ -147,7 +179,7 @@ def main():
         rec = {
             "is_mean": round(float(mean), 4),
             "is_std": round(float(std), 4),
-            "n_gen": int(gen.shape[0]),
+            "n_gen": int(n_gen),
             "inception": "finetuned" if trained else "random-weight",
         }
         if fid is not None:

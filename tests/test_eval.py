@@ -135,6 +135,52 @@ def test_retrieval_cli_grouped_vs_flat_pickles(tmp_path, capsys):
         assert m[d]["r@1"] == 1.0
 
 
+def test_eval_cli_extract_dir_streams_and_normalizes_sizes(tmp_path):
+    """scripts/eval.py extract_dir: heterogeneously sized real photo dirs
+    (CUB/Oxford) must not crash np.stack — mismatched images are resized to
+    the first image's canvas — and decoding must stream per batch chunk
+    (the 30k-image protocol is ~24 GB as one float32 stack)."""
+    import importlib.util
+
+    from PIL import Image
+
+    spec = importlib.util.spec_from_file_location(
+        "s2i_eval_cli",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "eval.py"),
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    rng = np.random.default_rng(0)
+    sizes = [(64, 64), (48, 80), (64, 64), (32, 32), (64, 64)]
+    for i, (h, w) in enumerate(sizes):
+        Image.fromarray(
+            rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        ).save(tmp_path / f"img_{i}.png")
+
+    class FakeExtractor:
+        def __init__(self):
+            self.batches = []
+
+        def extract(self, images, batch_size):
+            self.batches.append(images.shape)
+            n = images.shape[0]
+            return np.zeros((n, 2048), np.float32), np.zeros((n, 10), np.float32)
+
+    ex = FakeExtractor()
+    pool, logits, n = cli.extract_dir(ex, str(tmp_path), batch=2)
+    assert n == len(sizes) and pool.shape == (n, 2048)
+    # every chunk uniform at the first image's canvas; at most batch-size
+    # images were ever materialized at once
+    assert all(s[1:] == (64, 64, 3) and s[0] <= 2 for s in ex.batches)
+    assert len(ex.batches) == 3
+
+    # explicit canvas override
+    ex2 = FakeExtractor()
+    cli.extract_dir(ex2, str(tmp_path), batch=5, img_size=32)
+    assert ex2.batches[0][1:] == (32, 32, 3)
+
+
 def test_inception_forward_and_metrics_smoke():
     from s2i_tpu.eval import InceptionFeatures, fid_score, inception_score
 

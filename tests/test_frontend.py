@@ -241,3 +241,15 @@ def test_frontend_params_from_cfg():
     c2 = config.cfg_from_string("AUDIO:\n  FEATURE: mfcc\n  N_MFCC: 13\n")
     p2 = frontend_params_from_cfg(c2.AUDIO)
     assert p2.n_features == 13
+
+
+def test_frontend_rejects_window_longer_than_fft():
+    """win_length > n_fft would silently time-alias the matmul-DFT (the
+    np.fft oracle truncates instead — silently different features) and
+    break the Pallas kernels' frame-row layout: must fail fast."""
+    import pytest
+
+    from s2i_tpu.audio.frontend import FrontendParams
+
+    with pytest.raises(ValueError, match="win_length"):
+        FrontendParams(win_length=640)  # 40 ms @ 16 kHz vs n_fft=512
