@@ -356,8 +356,14 @@ def apply_overrides(cfg_tree: AttrDict, overrides: list[str]) -> AttrDict:
     return cfg_tree
 
 
-def dump_cfg(cfg_tree: AttrDict, path: str) -> None:
-    """Dump the resolved config into the run dir (reference logs its cfg too)."""
+def dump_cfg(cfg_tree: AttrDict, path) -> None:
+    """Dump the resolved config into the run dir (reference logs its cfg too).
+
+    ``path``: a filesystem path, or an open text stream (e.g. sys.stdout —
+    the docs/API.md one-liner printing the full key/default reference)."""
+    if hasattr(path, "write"):
+        yaml.safe_dump(_to_plain(cfg_tree), path, sort_keys=False)
+        return
     with open(path, "w") as f:
         yaml.safe_dump(_to_plain(cfg_tree), f, sort_keys=False)
 
