@@ -1,0 +1,14 @@
+"""Checkpoint porters: reference torch checkpoints → Flax trees.
+
+- :mod:`s2i_tpu.port.stackgan_torch` — ``netG.pth`` / ``netD*.pth``
+  (StackGAN-v2-lineage GAN; CLI: ``scripts/port_torch_gan.py``)
+- the fine-tuned Inception porter lives in :mod:`s2i_tpu.eval.weights`
+  (it belongs to the IS/FID protocol stack)
+"""
+
+from s2i_tpu.port.stackgan_torch import (  # noqa: F401
+    load_torch_state_dict,
+    port_dnet,
+    port_dnet_scale,
+    port_gnet,
+)

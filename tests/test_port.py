@@ -1,0 +1,244 @@
+"""Torch GAN checkpoint porter: end-to-end cross-validation.
+
+A torch G_NET / D_NET{64,128,256} with the reference's StackGAN-v2 topology
+and parameter naming (tests/_torch_stackgan.py) is randomly initialized, its
+BN running stats are moved off their init values by train-mode forwards, and
+its state_dict is ported (s2i_tpu/port/stackgan_torch.py). Eval-mode outputs
+must match between torch (NCHW) and the Flax models (NHWC) at every scale —
+whole-model parity, not just per-block (SURVEY.md §2 G/D rows)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from s2i_tpu.models.ca_net import CANet  # noqa: E402
+from s2i_tpu.models.discriminator import DNet64, DNet128, DNet256  # noqa: E402
+from s2i_tpu.models.generator import GNet  # noqa: E402
+from s2i_tpu.port import port_dnet, port_dnet_scale, port_gnet  # noqa: E402
+from tests import _torch_stackgan as ts  # noqa: E402
+
+GF, TDIM, CDIM, ZDIM, RNUM, B = 8, 32, 16, 12, 2, 4
+
+
+def _warm_bn(model, *inputs, steps=2):
+    """Train-mode forwards move BN running stats off their (0, 1) init so
+    the test actually exercises running-stat porting."""
+    model.train()
+    with torch.no_grad():
+        for _ in range(steps):
+            model(*inputs)
+    model.eval()
+
+
+@pytest.fixture(scope="module")
+def torch_g():
+    torch.manual_seed(0)
+    g = ts.G_NET(GF, TDIM, CDIM, ZDIM, branch_num=3, r_num=RNUM)
+    z = torch.randn(B, ZDIM)
+    c = torch.randn(B, CDIM)
+    _warm_bn(g, z, c)
+    return g
+
+
+def test_port_gnet_matches_torch(torch_g):
+    g_params, g_stats, meta = port_gnet(
+        {k: v for k, v in torch_g.state_dict().items()}
+    )
+    assert meta == {
+        "gf_dim": GF,
+        "z_dim": ZDIM,
+        "c_dim": CDIM,
+        "t_dim": TDIM,
+        "branch_num": 3,
+        "r_num": RNUM,
+    }
+
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(B, TDIM)).astype(np.float32)
+    z = rng.normal(size=(B, ZDIM)).astype(np.float32)
+
+    # CA: eval-mode c_code is mu; compare (mu, logvar)
+    tmu, tlogvar = torch_g.ca_net.encode(torch.from_numpy(emb))
+    ca = CANet(c_dim=CDIM)
+    c, mu, logvar = ca.apply(
+        {"params": g_params["ca"]}, jnp.asarray(emb), train=False
+    )
+    np.testing.assert_allclose(np.asarray(mu), tmu.detach().numpy(), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(logvar), tlogvar.detach().numpy(), atol=2e-6
+    )
+
+    with torch.no_grad():
+        torch_imgs = torch_g(torch.from_numpy(z), tmu)
+
+    gnet = GNet(gf_dim=GF, branch_num=3, num_res=RNUM, up_mode="naive")
+    imgs = gnet.apply(
+        {"params": g_params["g"], "batch_stats": g_stats["g"]},
+        jnp.asarray(z),
+        mu,
+        train=False,
+    )
+    assert len(imgs) == len(torch_imgs) == 3
+    for i, (ours, theirs) in enumerate(zip(imgs, torch_imgs)):
+        np.testing.assert_allclose(
+            np.asarray(ours),
+            theirs.numpy().transpose(0, 2, 3, 1),
+            atol=3e-5,
+            err_msg=f"stage {i}",
+        )
+
+
+def test_port_gnet_tree_matches_init(torch_g):
+    """The ported tree is EXACTLY the tree GNet/CANet initialize — same
+    structure, same shapes — so it drops into GanTrainState unchanged."""
+    g_params, g_stats, _ = port_gnet(torch_g.state_dict())
+    gnet = GNet(gf_dim=GF, branch_num=3, num_res=RNUM)
+    ref = gnet.init(
+        jax.random.key(0),
+        jnp.zeros((2, ZDIM)),
+        jnp.zeros((2, CDIM)),
+        train=False,
+    )
+    ca_ref = CANet(c_dim=CDIM).init(
+        jax.random.key(0), jnp.zeros((2, TDIM)), train=False
+    )
+    for ported, init in (
+        (g_params["g"], ref["params"]),
+        (g_stats["g"], ref["batch_stats"]),
+        (g_params["ca"], ca_ref["params"]),
+    ):
+        a = jax.tree_util.tree_flatten_with_path(ported)[0]
+        b = jax.tree_util.tree_flatten_with_path(init)[0]
+        assert [(p, v.shape) for p, v in a] == [
+            (p, v.shape) for p, v in b
+        ]
+
+
+@pytest.mark.parametrize(
+    "tcls, ours, size",
+    [
+        (ts.D_NET64, DNet64, 64),
+        (ts.D_NET128, DNet128, 128),
+        (ts.D_NET256, DNet256, 256),
+    ],
+)
+def test_port_dnet_matches_torch(tcls, ours, size):
+    torch.manual_seed(size)
+    d = tcls(ndf=8, nef=CDIM)
+    x = torch.randn(B, 3, size, size)
+    c = torch.randn(B, CDIM)
+    _warm_bn(d, x, c)
+
+    sd = d.state_dict()
+    assert port_dnet_scale(sd) == size
+    params, stats, meta = port_dnet(sd)
+    assert meta == {"scale": size, "df_dim": 8, "ef_dim": CDIM}
+
+    with torch.no_grad():
+        t_cond, t_uncond = d(x, c)
+
+    dnet = ours(df_dim=8, ef_dim=CDIM)
+    cond, uncond = dnet.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(c.numpy()),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(cond), t_cond.numpy(), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(uncond), t_uncond.numpy(), atol=3e-5)
+
+
+def test_port_cli_checkpoint_roundtrip(tmp_path, monkeypatch):
+    """scripts/port_torch_gan.py: .pth files -> step-0 checkpoint that
+    restores into the trainer's state template and drives the sampler."""
+    import importlib
+
+    torch.manual_seed(7)
+    g = ts.G_NET(GF, TDIM, CDIM, ZDIM, branch_num=2, r_num=RNUM)
+    d64 = ts.D_NET64(ndf=8, nef=CDIM)
+    z = torch.randn(B, ZDIM)
+    c = torch.randn(B, CDIM)
+    _warm_bn(g, z, c)
+    _warm_bn(d64, torch.randn(B, 3, 64, 64), c)
+    netg = tmp_path / "netG.pth"
+    netd = tmp_path / "netD64.pth"
+    torch.save(g.state_dict(), netg)
+    # DataParallel-style prefixes must be stripped by the loader
+    torch.save(
+        {f"module.{k}": v for k, v in d64.state_dict().items()}, netd
+    )
+
+    out = tmp_path / "ported"
+    monkeypatch.setattr(
+        "sys.argv",
+        [
+            "port_torch_gan.py",
+            "--netg", str(netg),
+            "--netd", str(netd),
+            "--out", str(out),
+            "--set", "GAN.DF_DIM=8", "TRAIN.EMA_G=0.999",
+        ],
+    )
+    mod = importlib.import_module("scripts.port_torch_gan")
+    mod.main()
+
+    from s2i_tpu import config
+    from s2i_tpu.train import gan
+    from s2i_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = config.cfg_from_file(str(out / "ported_config.yml"))
+    assert int(cfg.TREE.BRANCH_NUM) == 2
+    assert int(cfg.GAN.GF_DIM) == GF
+    models = gan.build_models(cfg)
+    batch = {"images": (np.zeros((2, 128, 128, 3), np.float32),)}
+    state = gan.init_state(cfg, models, jax.random.key(0), batch)
+    mgr = CheckpointManager(str(out))
+    restored, step = mgr.restore_latest(state)
+    mgr.close()
+    assert step == 0
+
+    # the restored G must be the torch G: compare an eval-mode forward
+    rng = np.random.default_rng(3)
+    zz = rng.normal(size=(B, ZDIM)).astype(np.float32)
+    emb = rng.normal(size=(B, TDIM)).astype(np.float32)
+    tmu, _ = g.ca_net.encode(torch.from_numpy(emb))
+    with torch.no_grad():
+        t_imgs = g(torch.from_numpy(zz), tmu)
+    gnet = GNet(gf_dim=GF, branch_num=2, num_res=RNUM, up_mode="naive")
+    imgs = gnet.apply(
+        {
+            "params": restored.g_params["g"],
+            "batch_stats": restored.g_stats["g"],
+        },
+        jnp.asarray(zz),
+        jnp.asarray(tmu.detach().numpy()),
+        train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(imgs[-1]),
+        t_imgs[-1].numpy().transpose(0, 2, 3, 1),
+        atol=3e-5,
+    )
+
+    # EMA was seeded with the ported weights, so the sampler (use_ema) runs
+    # the ported G end-to-end
+    sample = jax.jit(gan.make_sample_fn(cfg, models))
+    out_imgs = sample(restored, jnp.asarray(emb), jax.random.key(0))
+    assert out_imgs[-1].shape == (B, 128, 128, 3)
+    assert all(np.isfinite(np.asarray(im)).all() for im in out_imgs)
+
+
+def test_port_rejects_naming_drift(torch_g):
+    sd = dict(torch_g.state_dict())
+    sd["h_net1.someday.weight"] = sd["img_net1.img.0.weight"]
+    with pytest.raises(ValueError, match="unrecognized"):
+        port_gnet(sd)
+    del sd["h_net1.someday.weight"], sd["ca_net.fc.bias"]
+    with pytest.raises(KeyError, match="ca_net.fc.bias"):
+        port_gnet(sd)
