@@ -7,6 +7,8 @@
 """
 
 from s2i_tpu.port.stackgan_torch import (  # noqa: F401
+    export_dnet,
+    export_gnet,
     load_torch_state_dict,
     port_dnet,
     port_dnet_scale,

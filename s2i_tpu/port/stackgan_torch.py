@@ -51,6 +51,8 @@ __all__ = [
     "port_gnet",
     "port_dnet",
     "port_dnet_scale",
+    "export_gnet",
+    "export_dnet",
 ]
 
 
@@ -329,3 +331,172 @@ def port_dnet(sd: dict) -> tuple[dict, dict, dict]:
     params = {"trunk": trunk_p, "heads": heads_p}
     stats = {"trunk": trunk_s, "heads": {"joint": joint_s}}
     return params, stats, meta
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: Flax trees → reference torch state_dicts, the exact
+# inverse of port_gnet/port_dnet (bitwise roundtrip, tests/test_port.py).
+# Lets a generator trained HERE be evaluated/finetuned by the reference's
+# own torch tooling.
+# ---------------------------------------------------------------------------
+
+
+def _conv_out(k) -> np.ndarray:
+    return _np(k).transpose(3, 2, 0, 1)  # [kh,kw,I,O] -> [O,I,kh,kw]
+
+
+def _bn_out(sd: dict, prefix: str, p: dict, s: dict) -> None:
+    """p/s: our inner GroupedBatchNorm param/stat dicts ({scale,bias} /
+    {mean,var}) — the inverse of _bn."""
+    sd[f"{prefix}.weight"] = _np(p["scale"])
+    sd[f"{prefix}.bias"] = _np(p["bias"])
+    sd[f"{prefix}.running_mean"] = _np(s["mean"])
+    sd[f"{prefix}.running_var"] = _np(s["var"])
+
+
+def _bn_block_out(sd: dict, prefix: str, p: dict, s: dict) -> None:
+    _bn_out(sd, prefix, p["BatchNorm_0"], s["BatchNorm_0"])
+
+
+def _upblock_out(sd: dict, prefix: str, p: dict, s: dict) -> None:
+    sd[f"{prefix}.1.weight"] = _conv_out(p["UpConv3x3_0"]["kernel"])
+    _bn_block_out(sd, f"{prefix}.2", p["BatchNorm_0"], s["BatchNorm_0"])
+
+
+def _conv3x3_block_out(
+    sd: dict, conv_key: str, bn_prefix: str, p: dict, s: dict
+) -> None:
+    sd[conv_key] = _conv_out(p["Conv3x3_0"]["Conv_0"]["kernel"])
+    _bn_block_out(sd, bn_prefix, p["BatchNorm_0"], s["BatchNorm_0"])
+
+
+def _swap_in_channels_out(k: np.ndarray, n_last_ours: int) -> np.ndarray:
+    """Inverse of _swap_in_channels: our trailing ``n_last_ours`` input
+    channels (the condition) become the torch-leading ones."""
+    return np.concatenate(
+        [k[:, :, -n_last_ours:, :], k[:, :, :-n_last_ours, :]], axis=2
+    )
+
+
+def export_gnet(g_params: dict, g_stats: dict) -> dict:
+    """Inverse of :func:`port_gnet`: the ``{'ca','g'}`` / ``{'g'}`` subtrees
+    of ``GanTrainState.g_params``/``g_stats`` (or the EMA copy plus
+    ``g_stats``) → a reference-layout ``netG`` state_dict of numpy arrays
+    (pass through ``torch.save`` after ``torch.from_numpy`` if a .pth file
+    is needed — scripts/port_torch_gan.py --reverse does exactly that)."""
+    ca, g = g_params["ca"], g_params["g"]
+    gs = g_stats["g"]
+    sd: dict[str, np.ndarray] = {}
+
+    ca_kernel = _np(ca["Dense_0"]["kernel"])  # [t_dim, 4*c_dim]
+    c_dim = ca_kernel.shape[1] // 4
+    sd["ca_net.fc.weight"] = ca_kernel.T.copy()
+    sd["ca_net.fc.bias"] = _np(ca["Dense_0"]["bias"])
+
+    init_p, init_s = g["init"], gs["init"]
+    dense = _np(init_p["Dense_0"]["kernel"])  # [z+c, ngf16*32] ours
+    n_out = dense.shape[1]
+    ngf16 = n_out // 32
+    z_dim = dense.shape[0] - c_dim
+    # inverse input-row permutation: ours (z, c) -> torch (c, z)
+    perm_in = np.concatenate([np.arange(z_dim, z_dim + c_dim), np.arange(z_dim)])
+    # inverse output-column permutation: torch[c*16+s] = ours[s*ngf16+c]
+    half = n_out // 2
+    f = np.arange(half)
+    inv_half = (f % 16) * ngf16 + (f // 16)  # torch[f] = ours[inv_half[f]]
+    inv = np.concatenate([inv_half, inv_half + half])
+    sd["h_net1.fc.0.weight"] = dense[perm_in][:, inv].T.copy()
+    bn_p = init_p["BatchNorm_0"]["BatchNorm_0"]
+    bn_s = init_s["BatchNorm_0"]["BatchNorm_0"]
+    sd["h_net1.fc.1.weight"] = _np(bn_p["scale"])[inv]
+    sd["h_net1.fc.1.bias"] = _np(bn_p["bias"])[inv]
+    sd["h_net1.fc.1.running_mean"] = _np(bn_s["mean"])[inv]
+    sd["h_net1.fc.1.running_var"] = _np(bn_s["var"])[inv]
+    for i in range(4):
+        _upblock_out(
+            sd,
+            f"h_net1.upsample{i + 1}",
+            init_p[f"UpBlockGLU_{i}"],
+            init_s[f"UpBlockGLU_{i}"],
+        )
+
+    branch_num = 1 + sum(f"next{i}" in g for i in (1, 2))
+    for i in range(1, branch_num):
+        tp, sp, ss = f"h_net{i + 1}", g[f"next{i}"], gs[f"next{i}"]
+        _conv3x3_block_out(
+            sd,
+            f"{tp}.jointConv.0.weight",
+            f"{tp}.jointConv.1",
+            sp["Block3x3GLU_0"],
+            ss["Block3x3GLU_0"],
+        )
+        sd[f"{tp}.jointConv.0.weight"] = _conv_out(
+            _swap_in_channels_out(
+                _np(sp["Block3x3GLU_0"]["Conv3x3_0"]["Conv_0"]["kernel"]), c_dim
+            )
+        )
+        r = 0
+        while f"ResBlockGLU_{r}" in sp:
+            rp, rs = sp[f"ResBlockGLU_{r}"], ss[f"ResBlockGLU_{r}"]
+            pre = f"{tp}.residual.{r}.block"
+            sd[f"{pre}.0.weight"] = _conv_out(rp["Conv3x3_0"]["Conv_0"]["kernel"])
+            _bn_block_out(sd, f"{pre}.1", rp["BatchNorm_0"], rs["BatchNorm_0"])
+            sd[f"{pre}.3.weight"] = _conv_out(rp["Conv3x3_1"]["Conv_0"]["kernel"])
+            _bn_block_out(sd, f"{pre}.4", rp["BatchNorm_1"], rs["BatchNorm_1"])
+            r += 1
+        _upblock_out(sd, f"{tp}.upsample", sp["UpBlockGLU_0"], ss["UpBlockGLU_0"])
+
+    for i in range(branch_num):
+        sd[f"img_net{i + 1}.img.0.weight"] = _conv_out(
+            g[f"to_rgb{i}"]["Conv3x3_0"]["Conv_0"]["kernel"]
+        )
+    return sd
+
+
+def export_dnet(params: dict, stats: dict) -> dict:
+    """Inverse of :func:`port_dnet` for one per-scale D."""
+    trunk_p, trunk_s = params["trunk"], stats["trunk"]
+    heads_p, heads_s = params["heads"], stats["heads"]
+    n_down = sum(k.startswith("DownBlock_") for k in trunk_p)
+    scale = {4: 64, 5: 128, 6: 256}[n_down]
+    sd: dict[str, np.ndarray] = {}
+
+    sd["img_code_s16.0.weight"] = _conv_out(trunk_p["DownBlock_0"]["Conv_0"]["kernel"])
+    for n, (ci, bi) in enumerate(((2, 3), (5, 6), (8, 9)), start=1):
+        db, dbs = trunk_p[f"DownBlock_{n}"], trunk_s[f"DownBlock_{n}"]
+        sd[f"img_code_s16.{ci}.weight"] = _conv_out(db["Conv_0"]["kernel"])
+        _bn_block_out(sd, f"img_code_s16.{bi}", db["BatchNorm_0"], dbs["BatchNorm_0"])
+    extra = {256: ("img_code_s32", "img_code_s64"), 128: ("img_code_s32",)}.get(
+        scale, ()
+    )
+    for n, prefix in enumerate(extra, start=4):
+        db, dbs = trunk_p[f"DownBlock_{n}"], trunk_s[f"DownBlock_{n}"]
+        sd[f"{prefix}.0.weight"] = _conv_out(db["Conv_0"]["kernel"])
+        _bn_block_out(sd, f"{prefix}.1", db["BatchNorm_0"], dbs["BatchNorm_0"])
+    squeezes = {
+        256: ("img_code_s64_1", "img_code_s64_2"),
+        128: ("img_code_s32_1",),
+    }.get(scale, ())
+    for n, prefix in enumerate(squeezes):
+        _conv3x3_block_out(
+            sd,
+            f"{prefix}.0.weight",
+            f"{prefix}.1",
+            trunk_p[f"Block3x3LeakyReLU_{n}"],
+            trunk_s[f"Block3x3LeakyReLU_{n}"],
+        )
+
+    _conv3x3_block_out(
+        sd,
+        "logits.jointConv.0.weight",
+        "logits.jointConv.1",
+        heads_p["joint"],
+        heads_s["joint"],
+    )
+    sd["logits.outlogits.0.weight"] = _conv_out(heads_p["cond_logit"]["kernel"])
+    sd["logits.outlogits.0.bias"] = _np(heads_p["cond_logit"]["bias"])
+    sd["uncond_logits.outlogits.0.weight"] = _conv_out(
+        heads_p["uncond_logit"]["kernel"]
+    )
+    sd["uncond_logits.outlogits.0.bias"] = _np(heads_p["uncond_logit"]["bias"])
+    return sd

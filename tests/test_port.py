@@ -234,6 +234,74 @@ def test_port_cli_checkpoint_roundtrip(tmp_path, monkeypatch):
     assert all(np.isfinite(np.asarray(im)).all() for im in out_imgs)
 
 
+def test_export_gnet_bitwise_roundtrip(torch_g):
+    """torch sd -> port -> export is the identity, key for key, bit for bit."""
+    from s2i_tpu.port import export_gnet
+
+    sd = {k: v.numpy() for k, v in torch_g.state_dict().items()}
+    g_params, g_stats, _ = port_gnet(sd)
+    back = export_gnet(g_params, g_stats)
+    expect = {k: v for k, v in sd.items() if "num_batches_tracked" not in k}
+    assert sorted(back) == sorted(expect)
+    for k in expect:
+        np.testing.assert_array_equal(back[k], expect[k], err_msg=k)
+
+
+def test_export_gnet_loads_into_torch_strict():
+    """A generator that ORIGINATED here exports to a state_dict torch loads
+    strictly and computes the same images — the reverse migration path."""
+    from s2i_tpu.port import export_gnet
+
+    gnet = GNet(gf_dim=GF, branch_num=3, num_res=RNUM, up_mode="naive")
+    v = gnet.init(
+        jax.random.key(5), jnp.zeros((2, ZDIM)), jnp.zeros((2, CDIM)),
+        train=False,
+    )
+    ca = CANet(c_dim=CDIM)
+    ca_v = ca.init(jax.random.key(6), jnp.zeros((2, TDIM)), train=False)
+    g_params = {"ca": ca_v["params"], "g": v["params"]}
+    g_stats = {"g": v["batch_stats"]}
+
+    sd = {k: torch.from_numpy(x) for k, x in export_gnet(g_params, g_stats).items()}
+    tg = ts.G_NET(GF, TDIM, CDIM, ZDIM, branch_num=3, r_num=RNUM)
+    missing, unexpected = tg.load_state_dict(sd, strict=False)
+    assert not unexpected
+    assert all(m.endswith("num_batches_tracked") for m in missing)
+    tg.eval()
+
+    rng = np.random.default_rng(9)
+    emb = rng.normal(size=(B, TDIM)).astype(np.float32)
+    z = rng.normal(size=(B, ZDIM)).astype(np.float32)
+    _, mu, _ = ca.apply({"params": g_params["ca"]}, jnp.asarray(emb), train=False)
+    tmu, _ = tg.ca_net.encode(torch.from_numpy(emb))
+    np.testing.assert_allclose(tmu.detach().numpy(), np.asarray(mu), atol=2e-6)
+    imgs = gnet.apply(
+        {"params": g_params["g"], "batch_stats": g_stats["g"]},
+        jnp.asarray(z), mu, train=False,
+    )
+    with torch.no_grad():
+        t_imgs = tg(torch.from_numpy(z), torch.from_numpy(np.asarray(mu)))
+    for ours, theirs in zip(imgs, t_imgs):
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1), atol=3e-5
+        )
+
+
+def test_export_dnet_bitwise_roundtrip():
+    from s2i_tpu.port import export_dnet
+
+    torch.manual_seed(11)
+    d = ts.D_NET256(ndf=8, nef=CDIM)
+    _warm_bn(d, torch.randn(B, 3, 256, 256), torch.randn(B, CDIM))
+    sd = {k: v.numpy() for k, v in d.state_dict().items()}
+    params, stats, _ = port_dnet(sd)
+    back = export_dnet(params, stats)
+    expect = {k: v for k, v in sd.items() if "num_batches_tracked" not in k}
+    assert sorted(back) == sorted(expect)
+    for k in expect:
+        np.testing.assert_array_equal(back[k], expect[k], err_msg=k)
+
+
 def test_port_rejects_naming_drift(torch_g):
     sd = dict(torch_g.state_dict())
     sd["h_net1.someday.weight"] = sd["img_net1.img.0.weight"]
