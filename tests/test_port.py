@@ -302,6 +302,72 @@ def test_export_dnet_bitwise_roundtrip():
         np.testing.assert_array_equal(back[k], expect[k], err_msg=k)
 
 
+def test_export_cli_joint_checkpoint(tmp_path, monkeypatch):
+    """scripts/export_torch_gan.py restores a JOINT-FT checkpoint (the
+    template carries the encoder subtree) and the exported netG loads
+    strictly into torch."""
+    import importlib
+
+    from s2i_tpu import config
+    from s2i_tpu.data.synthetic import SyntheticGanDataset, SyntheticSpeechDataset
+    from s2i_tpu.train import gan
+    from s2i_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = config.default_cfg()
+    cfg.TRAIN.JOINT_FT = True
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.TREE.BRANCH_NUM = 2
+    cfg.GAN.GF_DIM = GF
+    cfg.GAN.Z_DIM = ZDIM
+    cfg.GAN.EMBEDDING_DIM = CDIM
+    cfg.TEXT.DIMENSION = TDIM
+    cfg.ENCODER.CONV_CHANNELS = [8, 8]
+    cfg.ENCODER.RNN_HIDDEN = 8
+    cfg.AUDIO.N_MELS = 8
+    cfg.AUDIO.MAX_FRAMES = 16
+    models = gan.build_models(cfg, joint=True)
+    img = SyntheticGanDataset(
+        num_classes=2, examples_per_class=2, branch_num=2, emb_dim=TDIM
+    ).batch(np.arange(2))
+    sp = SyntheticSpeechDataset(
+        num_classes=2, examples_per_class=2, max_frames=16, n_mels=8,
+        emb_dim=TDIM,
+    ).batch(np.arange(2))
+    batch = {
+        "images": img["images"],
+        "feats": sp["feats"],
+        "feat_mask": sp["feat_mask"],
+    }
+    state = gan.init_state(cfg, models, jax.random.key(0), batch)
+    ckpt_dir = tmp_path / "ckpt"
+    mgr = CheckpointManager(str(ckpt_dir))
+    mgr.save(0, state, force=True)
+    mgr.wait()
+    mgr.close()
+    cfg_path = tmp_path / "config.yml"
+    config.dump_cfg(cfg, str(cfg_path))
+
+    out = tmp_path / "torch"
+    monkeypatch.setattr(
+        "sys.argv",
+        [
+            "export_torch_gan.py",
+            "--cfg", str(cfg_path),
+            "--ckpt", str(ckpt_dir),
+            "--out", str(out),
+        ],
+    )
+    importlib.import_module("scripts.export_torch_gan").main()
+
+    sd = torch.load(out / "netG.pth", map_location="cpu", weights_only=True)
+    tg = ts.G_NET(GF, TDIM, CDIM, ZDIM, branch_num=2, r_num=RNUM)
+    missing, unexpected = tg.load_state_dict(sd, strict=False)
+    assert not unexpected
+    assert all(m.endswith("num_batches_tracked") for m in missing)
+    for scale in (64, 128):
+        assert (out / f"netD{scale}.pth").exists()
+
+
 def test_port_rejects_naming_drift(torch_g):
     sd = dict(torch_g.state_dict())
     sd["h_net1.someday.weight"] = sd["img_net1.img.0.weight"]
