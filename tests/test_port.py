@@ -287,6 +287,36 @@ def test_export_gnet_loads_into_torch_strict():
         )
 
 
+@pytest.mark.parametrize(
+    "gf, branch, rnum, zd, cd",
+    [(4, 1, 2, 8, 8), (16, 2, 1, 100, 128), (8, 3, 3, 20, 24)],
+)
+def test_port_gnet_roundtrip_dims_sweep(gf, branch, rnum, zd, cd):
+    """Dims inference + both directions across generator geometries
+    (branch 1 has no next stages; r_num varies the residual count)."""
+    from s2i_tpu.port import export_gnet
+
+    torch.manual_seed(gf * branch)
+    g = ts.G_NET(gf, TDIM, cd, zd, branch_num=branch, r_num=rnum)
+    sd = {k: v.numpy() for k, v in g.state_dict().items()}
+    g_params, g_stats, meta = port_gnet(sd)
+    assert meta["gf_dim"] == gf and meta["branch_num"] == branch
+    assert meta["z_dim"] == zd and meta["c_dim"] == cd
+    assert meta["r_num"] == (rnum if branch > 1 else None)
+    gnet = GNet(gf_dim=gf, branch_num=branch, num_res=rnum)
+    ref = gnet.init(
+        jax.random.key(0), jnp.zeros((2, zd)), jnp.zeros((2, cd)), train=False
+    )
+    assert jax.tree.structure(g_params["g"]) == jax.tree.structure(
+        ref["params"]
+    )
+    back = export_gnet(g_params, g_stats)
+    expect = {k: v for k, v in sd.items() if "num_batches_tracked" not in k}
+    assert sorted(back) == sorted(expect)
+    for k in expect:
+        np.testing.assert_array_equal(back[k], expect[k], err_msg=k)
+
+
 def test_export_dnet_bitwise_roundtrip():
     from s2i_tpu.port import export_dnet
 
