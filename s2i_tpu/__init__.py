@@ -13,6 +13,7 @@ Layer map (see SURVEY.md §1):
   - ``s2i_tpu.eval``     — L5 metrics (Inception Score, FID, retrieval)
   - ``s2i_tpu.parallel`` — device-mesh data parallelism (shard_map + psum)
   - ``s2i_tpu.ops``      — Pallas TPU kernels (the native acceleration layer)
+  - ``s2i_tpu.port``     — reference torch checkpoint porters (netG/netD ↔ Flax)
   - ``s2i_tpu.utils``    — checkpointing (Orbax), image grids, scalar logging
 
 Note on provenance: the read-only reference mount was empty in every session so
