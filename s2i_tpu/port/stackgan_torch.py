@@ -102,9 +102,11 @@ class _Taker:
             if k not in self.used and not k.endswith("num_batches_tracked")
         ]
         if leftovers:
+            shown = sorted(leftovers)[:8]
+            more = ", ..." if len(leftovers) > len(shown) else ""
             raise ValueError(
                 f"{what}: {len(leftovers)} unrecognized checkpoint keys "
-                f"(naming drift?): {sorted(leftovers)[:8]}..."
+                f"(naming drift?): {shown}{more}"
             )
 
 
@@ -364,9 +366,20 @@ def _upblock_out(sd: dict, prefix: str, p: dict, s: dict) -> None:
 
 
 def _conv3x3_block_out(
-    sd: dict, conv_key: str, bn_prefix: str, p: dict, s: dict
+    sd: dict,
+    conv_key: str,
+    bn_prefix: str,
+    p: dict,
+    s: dict,
+    swap_c: int | None = None,
 ) -> None:
-    sd[conv_key] = _conv_out(p["Conv3x3_0"]["Conv_0"]["kernel"])
+    """``swap_c``: move our trailing ``swap_c`` input channels (the condition)
+    to the torch-leading position before the layout transpose — needed where
+    torch concatenates ``(c, h)`` but we concatenate ``(h, c)``."""
+    k = p["Conv3x3_0"]["Conv_0"]["kernel"]
+    if swap_c is not None:
+        k = _swap_in_channels_out(_np(k), swap_c)
+    sd[conv_key] = _conv_out(k)
     _bn_block_out(sd, bn_prefix, p["BatchNorm_0"], s["BatchNorm_0"])
 
 
@@ -429,11 +442,7 @@ def export_gnet(g_params: dict, g_stats: dict) -> dict:
             f"{tp}.jointConv.1",
             sp["Block3x3GLU_0"],
             ss["Block3x3GLU_0"],
-        )
-        sd[f"{tp}.jointConv.0.weight"] = _conv_out(
-            _swap_in_channels_out(
-                _np(sp["Block3x3GLU_0"]["Conv3x3_0"]["Conv_0"]["kernel"]), c_dim
-            )
+            swap_c=c_dim,
         )
         r = 0
         while f"ResBlockGLU_{r}" in sp:

@@ -398,6 +398,87 @@ def test_export_cli_joint_checkpoint(tmp_path, monkeypatch):
         assert (out / f"netD{scale}.pth").exists()
 
 
+def test_export_cli_raw_flag_and_ema_fallback(tmp_path, monkeypatch):
+    """The two export paths the joint-checkpoint test does not reach:
+    ``--raw`` (trained weights instead of the Polyak copy) and the
+    automatic raw fallback when the checkpoint carries no EMA
+    (TRAIN.EMA_G=0) — scripts/export_torch_gan.py lines 69-74."""
+    import importlib
+
+    from s2i_tpu import config
+    from s2i_tpu.train import gan
+    from s2i_tpu.utils.checkpoint import CheckpointManager
+
+    def make_cfg(ema):
+        cfg = config.default_cfg()
+        cfg.TRAIN.BATCH_SIZE = 2
+        cfg.TRAIN.EMA_G = ema
+        cfg.TREE.BRANCH_NUM = 2
+        cfg.GAN.GF_DIM = GF
+        cfg.GAN.Z_DIM = ZDIM
+        cfg.GAN.EMBEDDING_DIM = CDIM
+        cfg.TEXT.DIMENSION = TDIM
+        return cfg
+
+    def save_run(cfg, subdir):
+        """Init, then double every trained G weight so raw != EMA (the EMA
+        copy keeps the init values); exact-in-fp32 perturbation."""
+        models = gan.build_models(cfg)
+        batch = {"images": (np.zeros((2, 128, 128, 3), np.float32),)}
+        state = gan.init_state(cfg, models, jax.random.key(0), batch)
+        state = state.replace(
+            g_params={
+                **state.g_params,
+                "g": jax.tree.map(lambda x: x * 2.0, state.g_params["g"]),
+            }
+        )
+        run = tmp_path / subdir
+        mgr = CheckpointManager(str(run / "ckpt"))
+        mgr.save(0, state, force=True)
+        mgr.wait()
+        mgr.close()
+        config.dump_cfg(cfg, str(run / "config.yml"))
+        return run
+
+    def export(run, out, *extra):
+        monkeypatch.setattr(
+            "sys.argv",
+            [
+                "export_torch_gan.py",
+                "--cfg", str(run / "config.yml"),
+                "--ckpt", str(run / "ckpt"),
+                "--out", str(out),
+                *extra,
+            ],
+        )
+        importlib.import_module("scripts.export_torch_gan").main()
+        return torch.load(
+            out / "netG.pth", map_location="cpu", weights_only=True
+        )
+
+    run = save_run(make_cfg(0.999), "ema_run")
+    sd_ema = export(run, tmp_path / "out_ema")
+    sd_raw = export(run, tmp_path / "out_raw", "--raw")
+    probe = "img_net1.img.0.weight"
+    np.testing.assert_array_equal(
+        sd_raw[probe].numpy(), 2.0 * sd_ema[probe].numpy()
+    )
+
+    # EMA disabled: ema_g == {} and the default (no --raw) export must fall
+    # back to the trained weights — identical tensors to the --raw export.
+    run0 = save_run(make_cfg(0.0), "noema_run")
+    sd_fb = export(run0, tmp_path / "out_fb")
+    assert set(sd_fb) == set(sd_raw)
+    for k in sd_raw:
+        np.testing.assert_array_equal(sd_fb[k].numpy(), sd_raw[k].numpy())
+
+    # and it still torch-loads strictly
+    tg = ts.G_NET(GF, TDIM, CDIM, ZDIM, branch_num=2, r_num=RNUM)
+    missing, unexpected = tg.load_state_dict(sd_fb, strict=False)
+    assert not unexpected
+    assert all(m.endswith("num_batches_tracked") for m in missing)
+
+
 def test_port_rejects_naming_drift(torch_g):
     sd = dict(torch_g.state_dict())
     sd["h_net1.someday.weight"] = sd["img_net1.img.0.weight"]
