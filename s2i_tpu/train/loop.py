@@ -384,10 +384,11 @@ class GanTrainer:
         imgs = self.sample_fn(
             self.state, jax.numpy.asarray(emb), jax.random.key(42)
         )
-        save_image_grid(
+        grid = save_image_grid(
             np.asarray(imgs[-1])[:n],
             os.path.join(self.output_dir, "images", f"fake_{step:07d}.png"),
         )
+        self.logger.log_image(step, "samples", grid)
 
     def sample_to_dir(
         self,

@@ -14,12 +14,10 @@ def to_uint8(img: np.ndarray) -> np.ndarray:
     return np.clip((img + 1.0) * 127.5 + 0.5, 0, 255).astype(np.uint8)
 
 
-def save_image_grid(
-    images: np.ndarray, path: str, nrow: int = 8, pad: int = 2
-) -> None:
-    """Save [N, H, W, 3] images in [-1,1] as one PNG grid."""
-    from PIL import Image
-
+def make_image_grid(
+    images: np.ndarray, nrow: int = 8, pad: int = 2
+) -> np.ndarray:
+    """[N, H, W, 3] images in [-1,1] → one uint8 grid image."""
     images = to_uint8(images)
     n, h, w, c = images.shape
     ncol = min(nrow, n)
@@ -30,8 +28,20 @@ def save_image_grid(
     for i, im in enumerate(images):
         r, cidx = divmod(i, ncol)
         grid[r * (h + pad) : r * (h + pad) + h, cidx * (w + pad) : cidx * (w + pad) + w] = im
+    return grid
+
+
+def save_image_grid(
+    images: np.ndarray, path: str, nrow: int = 8, pad: int = 2
+) -> np.ndarray:
+    """Save [N, H, W, 3] images in [-1,1] as one PNG grid; returns the
+    composed uint8 grid (so callers can mirror it, e.g. into TensorBoard)."""
+    from PIL import Image
+
+    grid = make_image_grid(images, nrow=nrow, pad=pad)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     Image.fromarray(grid).save(path)
+    return grid
 
 
 def save_images(images: np.ndarray, directory: str, names: list[str]) -> None:

@@ -51,6 +51,21 @@ class ScalarLogger:
                 for k, v in scalars.items():
                     tf.summary.scalar(k, float(v), step=int(step))
 
+    def log_image(self, step: int, tag: str, image) -> None:
+        """Mirror a uint8 [H, W, C] image (e.g. a sample grid) into the
+        TensorBoard event files — the reference's periodic image summaries
+        (SURVEY.md §5 "Metrics / logging"). No-op when TB is off; PNG grids
+        on disk stay the primary sink either way."""
+        if self._tb is None:
+            return
+        import numpy as np
+        import tensorflow as tf
+
+        with self._tb.as_default():
+            tf.summary.image(
+                tag, np.asarray(image)[None], step=int(step), max_outputs=1
+            )
+
     def close(self) -> None:
         self._f.close()
         if self._tb is not None:

@@ -214,6 +214,10 @@ def test_tensorboard_mirror(tmp_path):
     lg = ScalarLogger(out, use_tensorboard=True)
     lg.log(1, {"g_loss": 1.5})
     lg.log(2, {"g_loss": 1.25})
+    grid = np.random.default_rng(0).integers(
+        0, 256, (16, 24, 3), dtype=np.uint8
+    )
+    lg.log_image(2, "samples", grid)
     lg.close()
     tb = os.path.join(out, "tb")
     assert os.path.isdir(tb) and any(
@@ -222,6 +226,23 @@ def test_tensorboard_mirror(tmp_path):
     assert json.loads(
         open(os.path.join(out, "scalars.jsonl")).read().splitlines()[-1]
     )["g_loss"] == 1.25
+
+    # read the events back: both the scalar and the image summary landed
+    import tensorflow as tf
+
+    tags = set()
+    for f in os.listdir(tb):
+        for ev in tf.compat.v1.train.summary_iterator(os.path.join(tb, f)):
+            for v in ev.summary.value:
+                tags.add(v.tag)
+    assert "g_loss" in tags
+    assert "samples" in tags
+
+    # TB off: log_image is a no-op, not an error
+    lg2 = ScalarLogger(str(tmp_path / "run2"), use_tensorboard=False)
+    lg2.log_image(1, "samples", grid)
+    lg2.close()
+    assert not os.path.isdir(os.path.join(str(tmp_path / "run2"), "tb"))
 
 
 @pytest.mark.slow

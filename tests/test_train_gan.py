@@ -481,6 +481,91 @@ def test_train_step_accepts_uint8_images():
         assert np.isfinite(float(v)), f"{k} not finite"
 
 
+@pytest.mark.parametrize(
+    "desc,flags",
+    [
+        # the full production transfer/lever stack, in joint mode: uint8
+        # top-scale-only batches, s2d + batched D dispatch, class-aware
+        # wrong pairs, EMA on
+        (
+            "joint_production",
+            dict(joint=True, s2d=True, dtb=True, uint8=True, ship_top=True,
+                 class_aware=True),
+        ),
+        # EMA disabled while class-aware + s2d are on
+        ("no_ema_class_aware", dict(ema_off=True, class_aware=True, s2d=True)),
+        # stage-I (single-branch) joint finetune without EMA — s2d/ship-top
+        # have no second scale to act on here
+        ("joint_stage1_no_ema", dict(joint=True, branch=1, ema_off=True)),
+        # bf16 compute stacked with the small-batch levers + uint8 transfer
+        ("bf16_levers", dict(bf16=True, s2d=True, dtb=True, uint8=True)),
+    ],
+)
+def test_flag_combination_smoke(desc, flags):
+    """Interacting config flags, exercised TOGETHER: each lever has its own
+    exact-math test above, but a user composes them (cfg/birds_joint_ft.yml
+    + DATA.* defaults do exactly this) — one step must run, stay finite, and
+    move the params under each realistic combination."""
+    joint = flags.get("joint", False)
+    cfg = tiny_cfg(branch_num=flags.get("branch", 2), joint=joint)
+    cfg.GAN.S2D = flags.get("s2d", False)
+    cfg.GAN.D_TRUNK_BATCH = flags.get("dtb", False)
+    if flags.get("ema_off"):
+        cfg.TRAIN.EMA_G = 0.0
+    if flags.get("class_aware"):
+        cfg.TRAIN.WRONG_PAIR = "class_aware"
+    if flags.get("bf16"):
+        cfg.DTYPE.COMPUTE = "bfloat16"
+
+    models = gan.build_models(cfg, joint=joint)
+    ds = SyntheticGanDataset(
+        num_classes=4,
+        examples_per_class=4,
+        branch_num=int(cfg.TREE.BRANCH_NUM),
+        emb_dim=int(cfg.TEXT.DIMENSION),
+    )
+    batch = dict(ds.batch(np.arange(8)))
+    if not flags.get("class_aware"):
+        batch.pop("class_id")
+    if flags.get("uint8"):
+        batch["images"] = tuple(
+            ((im + 1.0) * 127.5 + 0.5).clip(0, 255).astype(np.uint8)
+            for im in batch["images"]
+        )
+    if flags.get("ship_top"):
+        batch["images"] = batch["images"][-1:]
+    if joint:
+        sp = SyntheticSpeechDataset(
+            num_classes=4,
+            examples_per_class=4,
+            max_frames=int(cfg.AUDIO.MAX_FRAMES),
+            n_mels=int(cfg.AUDIO.N_MELS),
+            emb_dim=int(cfg.TEXT.DIMENSION),
+        )
+        sb = sp.batch(np.arange(8))
+        batch.update(
+            feats=sb["feats"], feat_mask=sb["feat_mask"], teacher=sb["teacher"]
+        )
+
+    state = gan.init_state(cfg, models, jax.random.key(0), batch)
+    assert bool(state.ema_g) == (not flags.get("ema_off", False))
+    step = jax.jit(gan.make_train_step(cfg, models))
+    state2, mets = step(state, batch, jax.random.key(1))
+    state3, mets3 = step(state2, batch, jax.random.key(1))
+    assert int(state3.step) == 2
+    for m in (mets, mets3):
+        for k, v in m.items():
+            assert np.isfinite(float(v)), f"{desc}: {k} not finite"
+    delta = jax.tree.map(
+        lambda a, b: float(jnp.abs(jnp.asarray(a, jnp.float32)
+                                   - jnp.asarray(b, jnp.float32)).max()),
+        state.g_params, state3.g_params,
+    )
+    assert max(jax.tree.leaves(delta)) > 0
+    if joint:
+        assert "distill_mse" in mets
+
+
 def test_ship_top_only_matches_full_pyramid():
     """DATA.SHIP_SCALES=top: a batch carrying only the 256-scale produces the
     same step as the full host-side pyramid (the device's 2x area-pool is the
