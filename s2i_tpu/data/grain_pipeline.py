@@ -103,7 +103,16 @@ def make_grain_gan_dataset(
 def grain_batch_factory(cfg):
     """batch_factory-compatible wrapper, selected by ``DATA.PIPELINE=grain``
     (see cli.gan_batch_factory). ``DATA.GRAIN_WORKERS`` > 0 decodes in Grain
-    worker processes via mp_prefetch."""
+    worker processes via mp_prefetch.
+
+    Deliberate trade-off: the pipeline (including the mp_prefetch worker
+    pool) is rebuilt per epoch. The (SEED+epoch)-keyed stream is what makes
+    GanTrainer's mid-epoch resume realign exactly — ``factory(epoch)`` must
+    restart from that epoch's first batch on a fresh process — and it
+    re-draws shuffling/augmentation/caption choice every epoch. The cost is
+    one pool fork per epoch boundary (seconds) against minutes of epoch; a
+    persistent pool would need Grain iterator checkpointing threaded through
+    the batch_factory contract for no measured gain."""
     split = StackGanSplit(
         cfg.DATA_DIR, "train", embedding_file=str(cfg.TEXT.EMBEDDING_FILE)
     )

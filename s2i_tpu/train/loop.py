@@ -62,7 +62,14 @@ class GanTrainer:
             use_tensorboard=bool(getattr(cfg.TRAIN, "TENSORBOARD", False)),
         )
 
-        first = next(iter(batch_factory(0)))
+        try:
+            first = next(iter(batch_factory(0)))
+        except StopIteration:
+            raise ValueError(
+                "batch_factory(0) yielded no batches — empty DATA_DIR, or a "
+                f"split smaller than TRAIN.BATCH_SIZE={int(cfg.TRAIN.BATCH_SIZE)} "
+                "(drop-last batching)?"
+            ) from None
         self._viz_batch = first
         state = gan.init_state(
             cfg, self.models, jax.random.key(int(cfg.SEED)), first
@@ -104,7 +111,7 @@ class GanTrainer:
             # Joint finetune (SURVEY.md §3.5): the speech encoder warm-starts
             # from its distillation-pretrain checkpoint. The pretrain encoder
             # carries an extra class head, so matching subtrees are grafted.
-            state = self._graft_encoder(state, str(cfg.TRAIN.NET_E), first)
+            state = self._graft_encoder(state, str(cfg.TRAIN.NET_E))
         if mesh is not None:
             state = replicate_state(state, mesh)
             self.step_fn = make_parallel_train_step(cfg, self.models, mesh)
@@ -182,38 +189,62 @@ class GanTrainer:
         if self.ckpt.save(step, self.state, force=force):
             self._write_progress(step)
 
-    def _graft_encoder(self, state, net_e: str, first_batch: dict):
-        from s2i_tpu.train import encoder as enc_train
-
-        pe = enc_train.build_encoder(self.cfg)
-        dummy = {
-            "feats": np.asarray(first_batch["feats"][:1]),
-            "feat_mask": np.asarray(first_batch["feat_mask"][:1]),
-        }
-        template = enc_train.init_encoder_state(
-            self.cfg, pe, jax.random.key(0), dummy
-        )
+    def _graft_encoder(self, state, net_e: str):
+        # Template-free restore: a geometry-drifted checkpoint must reach
+        # the graft's own validation below (a template restore would die
+        # inside Orbax with a bare shape error that never mentions NET_E).
         mgr = CheckpointManager(net_e)
-        restored = mgr.restore_latest(template)
+        restored = mgr.restore_latest_raw()
         mgr.close()
         if restored is None:
             raise FileNotFoundError(f"TRAIN.NET_E={net_e!r} has no checkpoint")
-        enc_state, estep = restored
+        raw, estep = restored
+        src_params = raw.get("params") if isinstance(raw, dict) else None
+        src_stats = raw.get("batch_stats") if isinstance(raw, dict) else None
+        if not isinstance(src_params, dict) or not isinstance(src_stats, dict):
+            raise ValueError(
+                f"TRAIN.NET_E={net_e!r} is not an encoder-pretrain "
+                "checkpoint (no params/batch_stats trees)"
+            )
 
-        def graft(dst: dict, src: dict) -> dict:
-            return {
-                k: (
-                    graft(v, src[k])
-                    if isinstance(v, dict) and k in src
-                    else (src.get(k, v) if isinstance(src, dict) else v)
-                )
-                for k, v in dst.items()
-            }
+        # Every leaf of the GAN-side encoder must be covered by the pretrain
+        # checkpoint with matching shapes — a partial or shape-mismatched
+        # graft (ENCODER.* config drift between pretrain and finetune) would
+        # silently leave random subtrees in a run that LOGS "warm-started",
+        # or surface later as an opaque XLA shape error. The pretrain
+        # checkpoint's extra leaves (its class head) are expected and ignored.
+        problems: list[str] = []
+
+        def graft(dst: dict, src, path: str = "") -> dict:
+            out = {}
+            for k, v in dst.items():
+                p = f"{path}/{k}"
+                s = src.get(k) if isinstance(src, dict) else None
+                if isinstance(v, dict):
+                    out[k] = graft(v, s if isinstance(s, dict) else {}, p)
+                elif s is None:
+                    problems.append(f"{p}: missing from pretrain checkpoint")
+                    out[k] = v
+                elif np.shape(s) != np.shape(v):
+                    problems.append(
+                        f"{p}: checkpoint shape {np.shape(s)} vs model "
+                        f"{np.shape(v)}"
+                    )
+                    out[k] = v
+                else:
+                    out[k] = s
+            return out
 
         g_params = dict(state.g_params)
         g_stats = dict(state.g_stats)
-        g_params["enc"] = graft(g_params["enc"], dict(enc_state.params))
-        g_stats["enc"] = graft(g_stats["enc"], dict(enc_state.batch_stats))
+        g_params["enc"] = graft(g_params["enc"], dict(src_params))
+        g_stats["enc"] = graft(g_stats["enc"], dict(src_stats))
+        if problems:
+            raise ValueError(
+                f"TRAIN.NET_E={net_e!r} does not match the joint encoder "
+                f"(ENCODER.*/AUDIO.* config drift?): " + "; ".join(problems[:8])
+                + (", ..." if len(problems) > 8 else "")
+            )
         print(f"encoder warm-started from {net_e} step {estep}")
         return state.replace(g_params=g_params, g_stats=g_stats)
 
@@ -261,12 +292,14 @@ class GanTrainer:
         # auto-resume picks up from here on restart.
         stop_requested = []
         prev_handler = None
+        handler_installed = False  # None is also a legitimate prior handler
         try:
             import signal
 
             prev_handler = signal.signal(
                 signal.SIGTERM, lambda *_: stop_requested.append(True)
             )
+            handler_installed = True
         except ValueError:
             pass  # not the main thread; skip the handler
         from s2i_tpu.data.pipeline import prefetch
@@ -284,80 +317,89 @@ class GanTrainer:
         # device counter by exactly 1, so the mirror stays exact).
         step = int(self.state.step)
         interrupted = False
-        for epoch in range(int(self._progress["epoch"]), max_epoch):
-            raw = iter(self.batch_factory(epoch))
-            skip = (
-                int(self._progress["step_in_epoch"])
-                if epoch == int(self._progress["epoch"])
-                else 0
-            )
-            # Mid-epoch resume: the batch stream is (SEED, epoch)-keyed and
-            # deterministic, so skipping the consumed prefix realigns it
-            # exactly (the skipped batches' host decode is re-paid once).
-            try:
-                for _ in range(skip):
-                    next(raw)
-            except StopIteration:
-                # dataset shrank between sessions; treat epoch as complete
-                self._progress = {"epoch": epoch + 1, "step_in_epoch": 0}
-                continue
-            self._progress = {"epoch": epoch, "step_in_epoch": skip}
-            # _prep (device_put of the ~25 MB batch) runs inside the
-            # prefetch worker so host->device transfer overlaps the
-            # previous step's compute instead of serializing with it.
-            batches = prefetch(map(self._prep, raw), depth=4)
-            for batch in batches:
-                b = batch["images"][0].shape[0]
-                self.state, mets = self.step_fn(self.state, batch, base_rng)
-                step += 1
-                self._progress["step_in_epoch"] += 1
-                if debug_nans:
-                    bad = {
-                        k: float(v)
-                        for k, v in mets.items()
-                        if not np.isfinite(float(v))
-                    }
-                    if bad:
-                        raise FloatingPointError(
-                            f"non-finite metrics at step {step}: {bad}"
-                        )
-                if profile_dir and step == profile_at and not profiling:
-                    jax.profiler.start_trace(profile_dir)
-                    profiling = True
-                elif profiling and step >= profile_at + 5:
-                    jax.block_until_ready(self.state)
-                    jax.profiler.stop_trace()
-                    profiling = False
-                imgs_done += b
-                if step % self.log_every == 0:
-                    dt = time.time() - t0
-                    scalars = {k: float(v) for k, v in mets.items()}
-                    scalars["images_per_sec"] = imgs_done / max(dt, 1e-9)
-                    self.logger.log(step, scalars)
-                    t0, imgs_done = time.time(), 0
-                if step % self.image_every == 0:
-                    self._save_grid(step)
-                if snapshot and step % snapshot == 0:
-                    self._save_checkpoint(step)
-                if stop_requested or (
-                    max_steps is not None and step >= max_steps
-                ):
-                    interrupted = True
+        try:
+            for epoch in range(int(self._progress["epoch"]), max_epoch):
+                raw = iter(self.batch_factory(epoch))
+                skip = (
+                    int(self._progress["step_in_epoch"])
+                    if epoch == int(self._progress["epoch"])
+                    else 0
+                )
+                # Mid-epoch resume: the batch stream is (SEED, epoch)-keyed and
+                # deterministic, so skipping the consumed prefix realigns it
+                # exactly (the skipped batches' host decode is re-paid once).
+                try:
+                    for _ in range(skip):
+                        next(raw)
+                except StopIteration:
+                    # dataset shrank between sessions; treat epoch as complete
+                    self._progress = {"epoch": epoch + 1, "step_in_epoch": 0}
+                    continue
+                self._progress = {"epoch": epoch, "step_in_epoch": skip}
+                # _prep (device_put of the ~25 MB batch) runs inside the
+                # prefetch worker so host->device transfer overlaps the
+                # previous step's compute instead of serializing with it.
+                batches = prefetch(map(self._prep, raw), depth=4)
+                for batch in batches:
+                    b = batch["images"][0].shape[0]
+                    self.state, mets = self.step_fn(self.state, batch, base_rng)
+                    step += 1
+                    self._progress["step_in_epoch"] += 1
+                    if debug_nans:
+                        bad = {
+                            k: float(v)
+                            for k, v in mets.items()
+                            if not np.isfinite(float(v))
+                        }
+                        if bad:
+                            raise FloatingPointError(
+                                f"non-finite metrics at step {step}: {bad}"
+                            )
+                    if profile_dir and step == profile_at and not profiling:
+                        jax.profiler.start_trace(profile_dir)
+                        profiling = True
+                    elif profiling and step >= profile_at + 5:
+                        jax.block_until_ready(self.state)
+                        jax.profiler.stop_trace()
+                        profiling = False
+                    imgs_done += b
+                    if step % self.log_every == 0:
+                        dt = time.time() - t0
+                        scalars = {k: float(v) for k, v in mets.items()}
+                        scalars["images_per_sec"] = imgs_done / max(dt, 1e-9)
+                        self.logger.log(step, scalars)
+                        t0, imgs_done = time.time(), 0
+                    if step % self.image_every == 0:
+                        self._save_grid(step)
+                    if snapshot and step % snapshot == 0:
+                        self._save_checkpoint(step)
+                    if stop_requested or (
+                        max_steps is not None and step >= max_steps
+                    ):
+                        interrupted = True
+                        break
+                if interrupted:
+                    if stop_requested:
+                        print(f"SIGTERM: checkpointing at step {step}")
                     break
-            if interrupted:
-                if stop_requested:
-                    print(f"SIGTERM: checkpointing at step {step}")
-                break
-            self._progress = {"epoch": epoch + 1, "step_in_epoch": 0}
-        if profiling:
-            # run ended inside the trace window (max_steps/SIGTERM): close
-            # the trace so it isn't lost with the process
-            jax.block_until_ready(self.state)
-            jax.profiler.stop_trace()
-        if prev_handler is not None:
-            import signal
+                self._progress = {"epoch": epoch + 1, "step_in_epoch": 0}
+        finally:
+            # Run even when the loop raises (DEBUG_NANS FloatingPointError, a
+            # decode error re-raised by the prefetcher, device OOM): a caller
+            # that catches the exception and keeps the process alive must not
+            # be left with a hijacked SIGTERM handler or an open trace.
+            if profiling:
+                # run ended inside the trace window (max_steps/SIGTERM/raise):
+                # close the trace so it isn't lost with the process
+                try:
+                    jax.block_until_ready(self.state)
+                except Exception:
+                    pass  # poisoned device must not mask the original error
+                jax.profiler.stop_trace()
+            if handler_installed:
+                import signal
 
-            signal.signal(signal.SIGTERM, prev_handler)
+                signal.signal(signal.SIGTERM, prev_handler)
         assert step == int(self.state.step), "host step mirror out of sync"
         if self.ckpt.latest_step != step:
             self._save_checkpoint(step, force=True)
@@ -368,19 +410,23 @@ class GanTrainer:
         self.ckpt.wait()
         return {k: float(v) for k, v in mets.items()}
 
+    def _mesh_size(self) -> int:
+        """Total device count of the data mesh (1 when unmeshed) — shard_map
+        batches must be divisible by it."""
+        if self.mesh is None:
+            return 1
+        return int(np.prod(list(self.mesh.shape.values())))
+
     def _save_grid(self, step: int) -> None:
         emb = np.asarray(self._viz_batch["embedding"][:8])
         n = emb.shape[0]
-        if self.mesh is not None:
-            # shard_map needs the batch divisible by the data axis: pad the
-            # viz embeddings up to a multiple of the mesh size and trim the
-            # padded rows after sampling (same recipe as sample_to_dir).
-            m = int(np.prod(list(self.mesh.shape.values())))
-            pad = (-n) % m
-            if pad:
-                emb = np.concatenate(
-                    [emb, np.zeros((pad, emb.shape[1]), emb.dtype)]
-                )
+        # pad the viz embeddings up to a multiple of the mesh size and trim
+        # the padded rows after sampling (same recipe as sample_to_dir)
+        pad = (-n) % self._mesh_size()
+        if pad:
+            emb = np.concatenate(
+                [emb, np.zeros((pad, emb.shape[1]), emb.dtype)]
+            )
         imgs = self.sample_fn(
             self.state, jax.numpy.asarray(emb), jax.random.key(42)
         )
@@ -403,10 +449,9 @@ class GanTrainer:
         embedding, save top-scale PNGs."""
         from s2i_tpu.utils.images import save_images
 
-        if self.mesh is not None:
-            # shard_map needs the batch divisible by the data axis
-            m = int(np.prod(list(self.mesh.shape.values())))
-            batch_size = ((batch_size + m - 1) // m) * m
+        # shard_map needs the batch divisible by the data axis
+        m = self._mesh_size()
+        batch_size = ((batch_size + m - 1) // m) * m
         n = embeddings.shape[0]
         names = names or [f"{i:06d}" for i in range(n)]
         for s in range(samples_per_emb):

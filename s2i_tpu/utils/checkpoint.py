@@ -54,5 +54,17 @@ class CheckpointManager:
         )
         return restored, step
 
+    def restore_latest_raw(self) -> tuple[Any, int] | None:
+        """Restore the newest checkpoint AS SAVED (no template): nested
+        dicts of host arrays, custom pytree nodes flattened to their field
+        names. For structure-tolerant consumers (the encoder warm-start
+        graft) that validate shapes themselves — a template restore would
+        hard-fail inside Orbax on any geometry drift before the caller
+        could produce a useful message."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        return self._mgr.restore(step, args=ocp.args.StandardRestore()), step
+
     def close(self) -> None:
         self._mgr.close()

@@ -444,6 +444,63 @@ def test_joint_training_cli_with_encoder_warmstart(tmp_path):
     assert "distill_mse" in mets
 
 
+def test_encoder_warmstart_rejects_config_drift(tmp_path):
+    """TRAIN.NET_E pointing at a pretrain checkpoint whose encoder geometry
+    differs from the joint config must fail loudly at graft time (a silent
+    partial graft left random subtrees in a run that logged 'warm-started')."""
+    from s2i_tpu import cli
+    from s2i_tpu.train import encoder as enc_train
+    from s2i_tpu.utils import CheckpointManager
+
+    def joint_cfg(rnn_hidden):
+        cfg = tiny_cfg()
+        cfg.OUTPUT_DIR = str(tmp_path)
+        cfg.TRAIN.JOINT_FT = True
+        cfg.TRAIN.COEFF.DISTILL = 1.0
+        cfg.ENCODER.CONV_CHANNELS = [8, 16]
+        cfg.ENCODER.RNN_HIDDEN = rnn_hidden
+        cfg.AUDIO.N_MELS = 8
+        cfg.AUDIO.MAX_FRAMES = 32
+        return cfg
+
+    # encoder checkpoint at RNN_HIDDEN=16 (no pretrain loop needed: the
+    # graft reads any EncoderTrainState-shaped checkpoint)
+    src_cfg = joint_cfg(16)
+    enc = enc_train.build_encoder(src_cfg)
+    dummy = {
+        "feats": np.zeros((1, 32, 8), np.float32),
+        "feat_mask": np.ones((1, 32), np.float32),
+    }
+    est = enc_train.init_encoder_state(src_cfg, enc, jax.random.key(0), dummy)
+    mgr = CheckpointManager(str(tmp_path / "enc_ckpt"))
+    mgr.save(0, est, force=True)
+    mgr.wait()
+    mgr.close()
+
+    bad = joint_cfg(8)  # geometry drift vs the checkpoint
+    bad.TRAIN.NET_E = str(tmp_path / "enc_ckpt")
+    with pytest.raises(ValueError, match="NET_E"):
+        GanTrainer(
+            bad, str(tmp_path / "run"), cli.joint_batch_factory(bad)
+        )
+
+    # matching geometry still warm-starts
+    good = joint_cfg(16)
+    good.TRAIN.NET_E = str(tmp_path / "enc_ckpt")
+    t = GanTrainer(
+        good, str(tmp_path / "run2"), cli.joint_batch_factory(good)
+    )
+    def check(dst, src):
+        for k, v in dst.items():
+            if isinstance(v, dict):
+                check(v, src[k])
+            else:
+                np.testing.assert_array_equal(np.asarray(v), np.asarray(src[k]))
+
+    check(t.state.g_params["enc"], dict(est.params))
+    t.close()
+
+
 def test_encoder_pretrain_resume_counts_total_epochs(tmp_path):
     """run_encoder_pretrain(epochs=N, run_dir=existing) resumes from the
     progress sidecar and treats N as TOTAL epochs (GanTrainer.train
