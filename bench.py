@@ -218,6 +218,25 @@ def bench_infer() -> None:
             np.asarray(pipe.generate(wavs, lens, seed=s, **kw))
             best = min(best, _t.perf_counter() - t0)
         results[b] = best
+    # Sustained serving rate: the collator's depth-1 dispatch pipeline
+    # (batch i+1 dispatched before batch i's readback is forced) vs the
+    # synchronous loop above. k back-to-back b8 batches, best-of-3.
+    b, k = 8, 6
+    wavs = rng.standard_normal((b, max_samples)).astype(np.float32)
+    lens = np.full((b,), max_samples, np.int32)
+    best_stream = float("inf")
+    for trial in range(3):
+        t0 = _t.perf_counter()
+        pending = None
+        for s in range(k):
+            dev = pipe.generate_async(
+                wavs, lens, seed=trial * k + s, output_dtype="uint8"
+            )
+            if pending is not None:
+                np.asarray(pending)
+            pending = dev
+        np.asarray(pending)
+        best_stream = min(best_stream, (_t.perf_counter() - t0) / k)
     print(
         json.dumps(
             {
@@ -234,6 +253,16 @@ def bench_infer() -> None:
                 "metric": "speech_to_image_b8_images_per_sec",
                 "value": round(8.0 / results[8], 1),
                 "unit": "images/sec/chip",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "speech_to_image_b8_streaming_images_per_sec",
+                "value": round(8.0 / best_stream, 1),
+                "unit": "images/sec/chip (depth-1 dispatch pipeline)",
                 "vs_baseline": 1.0,
             }
         )

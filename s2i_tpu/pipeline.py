@@ -179,6 +179,24 @@ class SpeechToImage:
         returns [-1,1] floats; ``"uint8"`` quantizes to [0,255] ON DEVICE
         (identical bytes to utils.images.to_uint8, 4x less readback — what
         the serving layer uses)."""
+        return np.asarray(
+            self.generate_async(wavs, wav_lens, seed, stage, output_dtype)
+        )
+
+    def generate_async(
+        self,
+        wavs: np.ndarray,
+        wav_lens: np.ndarray | None = None,
+        seed: int = 0,
+        stage: int = -1,
+        output_dtype: str = "float32",
+    ) -> jax.Array:
+        """:meth:`generate` without the host sync: returns the on-device
+        result array as soon as the program is dispatched (JAX async
+        dispatch), letting the caller overlap the device compute of batch
+        i+1 with the device→host readback of batch i — the serving
+        collator's pipelining hook (``np.asarray`` on the result blocks
+        until it is materialized on host)."""
         wavs = jnp.asarray(wavs, jnp.float32)
         if wav_lens is None:
             wav_lens = jnp.full((wavs.shape[0],), wavs.shape[1], jnp.int32)
@@ -192,7 +210,7 @@ class SpeechToImage:
                 f"(valid: {-branch}..{branch - 1}, -1 = highest)"
             )
         stage = stage % branch
-        imgs = self._generate(
+        return self._generate(
             self.enc_state,
             self.gan_state,
             wavs,
@@ -201,7 +219,6 @@ class SpeechToImage:
             stage,
             quantize=output_dtype == "uint8",
         )
-        return np.asarray(imgs)
 
     def generate_files(
         self, wav_paths: list[str], out_paths: list[str], seed: int = 0

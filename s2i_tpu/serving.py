@@ -40,6 +40,8 @@ class Batcher:
     Backpressure: the queue is bounded (``max_pending``); a submit against
     a full queue raises ``queue.Full`` immediately (the HTTP layer maps it
     to 503) instead of growing an unbounded backlog behind a slow device.
+    Throughput: dispatch is pipelined one batch deep (see :meth:`_run`) —
+    the device computes batch i+1 while the host reads back batch i.
     Shutdown: :meth:`close` drains — already-queued jobs still run, new
     submits are rejected, the collator thread is joined, and anything the
     collator never reached is failed so no waiter blocks forever.
@@ -96,14 +98,45 @@ class Batcher:
             job.error = "server shutting down"
             job.done.set()
 
+    @staticmethod
+    def _finalize(jobs, device_imgs) -> None:
+        """Block on the device→host readback of a dispatched batch and
+        release its waiters."""
+        try:
+            imgs = np.asarray(device_imgs)
+            for j, job in enumerate(jobs):
+                job.result = imgs[j]
+        except Exception as e:  # propagate to every waiter
+            for job in jobs:
+                job.error = f"{type(e).__name__}: {e}"
+        for job in jobs:
+            job.done.set()
+
     def _run(self) -> None:
+        # Depth-1 dispatch pipeline: `pending` is a batch whose device
+        # program is in flight (JAX async dispatch) but whose readback has
+        # not been forced yet. Under sustained load the collator dispatches
+        # batch i+1 BEFORE syncing batch i, so the device computes i+1
+        # while the host blocks on i's device→host bytes — on a thin link
+        # (readback-dominated) this hides nearly all device time; under
+        # sporadic load the empty-queue branch finalizes immediately, so
+        # single requests pay no added latency.
+        pending: tuple[list[_Job], object] | None = None
         while True:
-            try:
-                jobs = [self._q.get(timeout=0.1)]
-            except queue.Empty:
-                if self._closed.is_set():
-                    return  # drained + closed: exit
-                continue
+            if pending is not None:
+                try:
+                    jobs = [self._q.get_nowait()]
+                except queue.Empty:
+                    self._finalize(*pending)
+                    pending = None
+                    continue
+            else:
+                try:
+                    jobs = [self._q.get(timeout=0.1)]
+                except queue.Empty:
+                    if self._closed.is_set():
+                        return  # drained + closed: exit
+                    continue
             try:
                 while len(jobs) < self.batch_size:
                     jobs.append(self._q.get(timeout=self.wait_s))
@@ -116,14 +149,21 @@ class Batcher:
                 lens[j] = job.n
             try:
                 # uint8 readback: PNG-ready bytes, 4x less device→host
-                imgs = self.pipe.generate(wavs, lens, output_dtype="uint8")
-                for j, job in enumerate(jobs):
-                    job.result = imgs[j]
-            except Exception as e:  # propagate to every waiter
+                dev = self.pipe.generate_async(
+                    wavs, lens, output_dtype="uint8"
+                )
+            except Exception as e:  # trace/dispatch error: fail this batch
+                dev = None
                 for job in jobs:
                     job.error = f"{type(e).__name__}: {e}"
-            for job in jobs:
-                job.done.set()
+            if pending is not None:
+                self._finalize(*pending)
+                pending = None
+            if dev is None:
+                for job in jobs:
+                    job.done.set()
+            else:
+                pending = (jobs, dev)
 
 
 def _decode_wav_bytes(data: bytes, target_sr: int) -> np.ndarray:

@@ -20,22 +20,40 @@ class _StubParams:
     sample_rate = 16000
 
 
-class _StubPipe:
-    """pipe.generate stand-in: returns per-row constant uint8 tiles."""
+class _LazyReadbackFail:
+    """Stands in for an in-flight device array whose readback dies."""
 
-    def __init__(self, delay_s: float = 0.0, fail: bool = False):
+    def __array__(self, dtype=None, copy=None):
+        raise RuntimeError("readback gone")
+
+
+class _StubPipe:
+    """pipe.generate_async stand-in (the collator's dispatch hook):
+    returns per-row tiles stamped with each row's first wav sample, so
+    tests can assert the pipelined jobs↔batch mapping stays correct."""
+
+    def __init__(
+        self, delay_s: float = 0.0, fail: bool = False,
+        fail_readback: bool = False,
+    ):
         self.p = _StubParams()
         self.delay_s = delay_s
         self.fail = fail
+        self.fail_readback = fail_readback
         self.calls = 0
 
-    def generate(self, wavs, lens, output_dtype="uint8"):
+    def generate_async(self, wavs, lens, output_dtype="uint8"):
         self.calls += 1
         if self.delay_s:
             time.sleep(self.delay_s)
         if self.fail:
             raise RuntimeError("device gone")
-        return np.full((wavs.shape[0], 8, 8, 3), 7, np.uint8)
+        if self.fail_readback:
+            return _LazyReadbackFail()
+        stamp = wavs[:, 0].astype(np.uint8)
+        return np.broadcast_to(
+            stamp[:, None, None, None], (wavs.shape[0], 8, 8, 3)
+        ).copy()
 
 
 def test_batcher_roundtrip_and_close():
@@ -90,3 +108,35 @@ def test_batcher_device_failure_propagates():
         assert j.error is not None and "device gone" in j.error
     finally:
         b.close()
+
+
+def test_batcher_readback_failure_propagates():
+    """A batch that dispatched fine but whose device→host readback dies
+    (the pipelined `pending` path) must fail its waiters, not hang them."""
+    b = Batcher(_StubPipe(fail_readback=True), batch_size=2, max_pending=4)
+    try:
+        j = b.submit(np.zeros(4, np.float32))
+        assert j.done.wait(timeout=10)
+        assert j.error is not None and "readback gone" in j.error
+    finally:
+        b.close()
+
+
+def test_batcher_pipelined_batches_keep_job_mapping():
+    """Sustained load drives the depth-1 dispatch pipeline (batch i+1
+    dispatched before batch i's readback): every job must still get ITS
+    row — stamped by the stub with the job's own wav value — and close()
+    must finalize an in-flight pending batch rather than strand it."""
+    b = Batcher(_StubPipe(), batch_size=2, max_pending=64, wait_ms=1)
+    try:
+        jobs = []
+        for v in range(1, 41):  # 20 back-to-back batches
+            wav = np.full(4, float(v), np.float32)
+            jobs.append((v, b.submit(wav)))
+        for v, j in jobs:
+            assert j.done.wait(timeout=30)
+            assert j.error is None
+            assert int(j.result[0, 0, 0]) == v, "pipelined rows crossed jobs"
+    finally:
+        b.close()
+    assert not b._thread.is_alive()
