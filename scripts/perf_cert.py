@@ -748,26 +748,35 @@ def main():
         # vs the untested b112/b128 points, plus selective-policy remat
         # (GAN.REMAT_POLICY="conv": save conv outputs, recompute only the
         # elementwise chains — full remat's +13% FLOPs was the b192 killer).
-        # OOM at any point is caught per-variant and reported.
-        out.extend(
-            cert_gan_ab(
-                variants=[
-                    ("gan_b96_ref", 96, {}),
-                    ("gan_b112", 112, {}),
-                    ("gan_b128", 128, {}),
-                    (
-                        "gan_b128_remat_conv",
-                        128,
-                        {"GAN.REMAT": True, "GAN.REMAT_POLICY": "conv"},
-                    ),
-                    (
-                        "gan_b192_remat_conv",
-                        192,
-                        {"GAN.REMAT": True, "GAN.REMAT_POLICY": "conv"},
-                    ),
-                ]
-            )
-        )
+        # PAIRWISE chunks, not one 5-way interleave: cert_gan_ab keeps
+        # every variant's state + executables resident for interleaving,
+        # and five b96–b192 train states cannot co-reside in 16 GB HBM —
+        # the first attempt OOMed ALL variants including the known-good
+        # b96 (docs/PERF.md round-3 bigbatch note). Each chunk rebuilds a
+        # fresh b96 session reference (so the throttle story still holds
+        # within a chunk) and the prior chunk's buffers are freed on
+        # return. OOM at any point is caught per-variant and reported.
+        for ref_name, cand in [
+            ("gan_b96_ref_a", ("gan_b112", 112, {})),
+            ("gan_b96_ref_b", ("gan_b128", 128, {})),
+            (
+                "gan_b96_ref_c",
+                (
+                    "gan_b128_remat_conv",
+                    128,
+                    {"GAN.REMAT": True, "GAN.REMAT_POLICY": "conv"},
+                ),
+            ),
+            (
+                "gan_b96_ref_d",
+                (
+                    "gan_b192_remat_conv",
+                    192,
+                    {"GAN.REMAT": True, "GAN.REMAT_POLICY": "conv"},
+                ),
+            ),
+        ]:
+            out.extend(cert_gan_ab(variants=[(ref_name, 96, {}), cand]))
     if args.what == "parts":
         out.extend(cert_gan_parts())
     if args.what == "batch":
