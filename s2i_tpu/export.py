@@ -47,6 +47,26 @@ import numpy as np
 _FORMAT_VERSION = 1
 
 
+class _InFlightChunks:
+    """Dispatched-but-not-read-back result of a chunked artifact call.
+
+    Holds the on-device chunk arrays; ``np.asarray`` on it forces the
+    device→host readback of every chunk and concatenates (trimming the
+    batch padding) — the same lazy contract a raw ``jax.Array`` gives the
+    serving collator's depth-1 pipeline."""
+
+    def __init__(self, parts):
+        self._parts = parts  # [(device_img, n_real_rows), ...]
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.concatenate(
+            [np.asarray(img)[:n] for img, n in self._parts], axis=0
+        )
+        if dtype is not None:
+            out = out.astype(dtype, copy=False)
+        return out
+
+
 def _infer_fn(pipe, stage: int, quantize: bool):
     """Close the pipeline's jitted generate over its states: weights become
     program constants, leaving (wavs, wav_lens, seed) as the only inputs."""
@@ -174,6 +194,26 @@ class LoadedPipeline:
         ``stage``/``output_dtype`` are baked into the artifact; passing a
         conflicting value raises rather than silently serving the wrong
         resolution."""
+        return np.asarray(
+            self.generate_async(wavs, wav_lens, seed, stage, output_dtype)
+        )
+
+    def generate_async(
+        self,
+        wavs: np.ndarray,
+        wav_lens: np.ndarray | None = None,
+        seed: int = 0,
+        stage: int = -1,
+        output_dtype: str | None = None,
+    ):
+        """:meth:`generate` without the host sync — the serving collator's
+        pipelining hook (``serving.Batcher._run`` dispatches batch i+1
+        through this before forcing batch i's readback). Returns the
+        on-device array for a single exact-fit program call, or an
+        :class:`_InFlightChunks` view for padded/chunked requests; either
+        way ``np.asarray`` on the result blocks until the images are on
+        host. The host→device input transfer still happens synchronously
+        in the caller's thread; only compute + readback are overlapped."""
         if stage != -1 and stage != int(self.meta["stage"]):
             raise ValueError(
                 f"artifact was exported at stage {self.meta['stage']}; "
@@ -197,7 +237,7 @@ class LoadedPipeline:
 
         fits = [bb for bb in self.batch_sizes if bb >= b]
         bb = fits[0] if fits else self.batch_sizes[-1]
-        outs = []
+        parts = []
         for ci, start in enumerate(range(0, b, bb)):
             chunk = buf[start : start + bb]
             lens = wav_lens[start : start + bb]
@@ -221,8 +261,10 @@ class LoadedPipeline:
                     + np.uint32(ci) * np.uint32(2654435761)
                 ).astype(jnp.int32),
             )
-            outs.append(np.asarray(img)[:nb])
-        return np.concatenate(outs, axis=0)
+            parts.append((img, nb))
+        if len(parts) == 1 and parts[0][1] == bb:
+            return parts[0][0]  # exact fit: the device array itself
+        return _InFlightChunks(parts)
 
 
 def load(path: str) -> LoadedPipeline:

@@ -196,7 +196,10 @@ class SpeechToImage:
         dispatch), letting the caller overlap the device compute of batch
         i+1 with the device→host readback of batch i — the serving
         collator's pipelining hook (``np.asarray`` on the result blocks
-        until it is materialized on host)."""
+        until it is materialized on host). Note the ``jnp.asarray(wavs)``
+        host→device INPUT transfer below still happens synchronously in
+        the caller's thread (nontrivial on a thin relay link); only the
+        compute and the output readback are overlapped."""
         wavs = jnp.asarray(wavs, jnp.float32)
         if wav_lens is None:
             wav_lens = jnp.full((wavs.shape[0],), wavs.shape[1], jnp.int32)

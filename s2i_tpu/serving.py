@@ -139,7 +139,15 @@ class Batcher:
                     continue
             try:
                 while len(jobs) < self.batch_size:
-                    jobs.append(self._q.get(timeout=self.wait_s))
+                    if pending is not None:
+                        # a batch is already in flight: dispatch immediately
+                        # with whatever is queued instead of waiting up to
+                        # (batch_size-1)*wait_s for fill — the device is busy
+                        # anyway and the fill wait would only defer the
+                        # pending batch's readback (tail latency).
+                        jobs.append(self._q.get_nowait())
+                    else:
+                        jobs.append(self._q.get(timeout=self.wait_s))
             except queue.Empty:
                 pass
             wavs = np.zeros((self.batch_size, self.max_samples), np.float32)
@@ -178,7 +186,14 @@ def _decode_wav_bytes(data: bytes, target_sr: int) -> np.ndarray:
 def make_server(
     pipe: SpeechToImage, host: str = "127.0.0.1", port: int = 8500,
     batch_size: int = 8, max_pending: int = 64, warmup: bool = True,
+    max_body_bytes: int = 8 << 20, job_timeout_s: float = 120.0,
 ) -> ThreadingHTTPServer:
+    """``max_body_bytes`` caps the request body BEFORE it is read into
+    memory (oversize → 413; at 16 kHz/16-bit PCM the 8 MiB default is
+    ~4 min of audio, far beyond any MAX_FRAMES window). ``job_timeout_s``
+    bounds how long a handler waits for its batch (default matches the
+    previous fixed 120 s; raise it if first-compile can exceed it and
+    ``warmup`` is off)."""
     batcher = Batcher(pipe, batch_size, max_pending=max_pending)
     if warmup:
         # Trace+compile the exact (batch_size, max_samples) program the
@@ -215,6 +230,19 @@ def make_server(
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._json(400, {"error": "bad Content-Length"})
+                return
+            if n > max_body_bytes:
+                # reject by the declared length BEFORE reading the body:
+                # an attacker-controlled Content-Length must not size a
+                # host allocation (previously read fully into memory,
+                # uncapped)
+                self._json(413, {
+                    "error": f"body {n} bytes exceeds cap {max_body_bytes}"
+                })
+                return
+            try:
                 wav = _decode_wav_bytes(self.rfile.read(n), sample_rate)
             except Exception as e:
                 self._json(400, {"error": f"bad wav: {e}"})
@@ -227,7 +255,7 @@ def make_server(
             except RuntimeError:
                 self._json(503, {"error": "server shutting down"})
                 return
-            job.done.wait(timeout=120)
+            job.done.wait(timeout=job_timeout_s)
             if job.error or job.result is None:
                 self._json(500, {"error": job.error or "timeout"})
                 return

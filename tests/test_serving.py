@@ -27,10 +27,28 @@ class _LazyReadbackFail:
         raise RuntimeError("readback gone")
 
 
+class _LazyTile:
+    """Stands in for an in-flight device array: the batch's value is only
+    materialized when ``np.asarray`` forces it, and the forcing is recorded
+    in the pipe's event log — so a regression that accidentally reads back
+    at dispatch time changes the observable event order."""
+
+    def __init__(self, arr, idx, events):
+        self._arr = arr
+        self._idx = idx
+        self._events = events
+
+    def __array__(self, dtype=None, copy=None):
+        self._events.append(("readback", self._idx))
+        return self._arr if dtype is None else self._arr.astype(dtype)
+
+
 class _StubPipe:
     """pipe.generate_async stand-in (the collator's dispatch hook):
-    returns per-row tiles stamped with each row's first wav sample, so
-    tests can assert the pipelined jobs↔batch mapping stays correct."""
+    returns LAZY per-row tiles stamped with each row's first wav sample —
+    lazy so the tests exercise a genuinely deferred readback (not an eager
+    array), stamped so the pipelined jobs↔batch mapping stays checkable.
+    ``events`` logs ("dispatch", i)/("readback", i) in observed order."""
 
     def __init__(
         self, delay_s: float = 0.0, fail: bool = False,
@@ -41,6 +59,7 @@ class _StubPipe:
         self.fail = fail
         self.fail_readback = fail_readback
         self.calls = 0
+        self.events = []
 
     def generate_async(self, wavs, lens, output_dtype="uint8"):
         self.calls += 1
@@ -50,10 +69,12 @@ class _StubPipe:
             raise RuntimeError("device gone")
         if self.fail_readback:
             return _LazyReadbackFail()
+        self.events.append(("dispatch", self.calls))
         stamp = wavs[:, 0].astype(np.uint8)
-        return np.broadcast_to(
+        tile = np.broadcast_to(
             stamp[:, None, None, None], (wavs.shape[0], 8, 8, 3)
         ).copy()
+        return _LazyTile(tile, self.calls, self.events)
 
 
 def test_batcher_roundtrip_and_close():
@@ -140,3 +161,83 @@ def test_batcher_pipelined_batches_keep_job_mapping():
     finally:
         b.close()
     assert not b._thread.is_alive()
+
+
+def test_batcher_pipelined_dispatch_precedes_readback():
+    """The depth-1 pipeline must dispatch batch i+1 BEFORE forcing batch
+    i's readback under sustained load. The lazy stub records both sides,
+    so a regression that forces readback at dispatch time (serializing
+    the device) flips the event order and fails here even though the
+    job↔row mapping test above would still pass."""
+    pipe = _StubPipe(delay_s=0.05)
+    b = Batcher(pipe, batch_size=2, max_pending=64, wait_ms=1)
+    try:
+        jobs = [
+            b.submit(np.full(4, float(v + 1), np.float32)) for v in range(8)
+        ]
+        for j in jobs:
+            assert j.done.wait(timeout=30)
+            assert j.error is None
+    finally:
+        b.close()
+    pos = {e: k for k, e in enumerate(pipe.events)}
+    reads = sorted(i for kind, i in pipe.events if kind == "readback")
+    assert reads == list(range(1, pipe.calls + 1))  # every batch read back
+    # readbacks are forced in batch order...
+    read_order = [i for kind, i in pipe.events if kind == "readback"]
+    assert read_order == reads
+    # ...and at least one later batch was dispatched before an earlier
+    # batch's readback was forced (the overlap actually happened; all 8
+    # jobs are queued while batch 1 sits in its 50 ms dispatch delay, so
+    # batch 2 must dispatch before batch 1 is finalized)
+    assert any(
+        pos.get(("dispatch", i + 1), 1 << 30) < pos[("readback", i)]
+        for i in range(1, pipe.calls)
+    )
+
+
+def test_server_caps_body_size_before_reading():
+    """An attacker-controlled Content-Length beyond ``max_body_bytes``
+    must be rejected with 413 BEFORE the body is read into host memory;
+    a legitimate small wav on the same server still serves 200/PNG."""
+    import io
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from s2i_tpu.audio.wavio import write_wav
+    from s2i_tpu.serving import make_server
+
+    pipe = _StubPipe()
+    # warmup + (future) sync paths go through .generate
+    pipe.generate = lambda wavs, lens, output_dtype="uint8": np.asarray(
+        pipe.generate_async(wavs, lens, output_dtype)
+    )
+    srv = make_server(
+        pipe, "127.0.0.1", 0, batch_size=2,
+        max_body_bytes=4096, job_timeout_s=30,
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        big = b"\x00" * 8192  # > cap: must bounce without decoding
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=big, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 413
+
+        buf = io.BytesIO()
+        write_wav(buf, np.zeros(160, np.float32), 16000)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=buf.getvalue(), method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "image/png"
+            assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        srv.shutdown()
+        srv.server_close()
