@@ -107,6 +107,15 @@ def main():
         "first image's size; uniform dirs are never resampled on host)",
     )
     p.add_argument(
+        "--protocol", choices=("exact", "pytorch-fid"), default="exact",
+        help="feature preprocessing: 'pytorch-fid' quantizes inputs through "
+        "uint8 before the 299px resize (the saved-PNG protocol). For "
+        "dir-based eval the two are IDENTICAL (decoded files are already "
+        "uint8-quantized; tests/test_eval.py proves the no-op) — the knob "
+        "matters for in-memory eval paths like s2i_tpu.eval.fid.fid_score "
+        "on live generator outputs",
+    )
+    p.add_argument(
         "--json", action="store_true",
         help="print one machine-readable JSON line instead of text",
     )
@@ -151,7 +160,10 @@ def main():
             "params": restored[0].params,
             "batch_stats": restored[0].batch_stats,
         }
-    ex = InceptionFeatures(variables, num_classes=num_classes)
+    ex = InceptionFeatures(
+        variables, num_classes=num_classes,
+        quantize_input=args.protocol == "pytorch-fid",
+    )
     # ONE extractor pass over the generated set: extract() returns pool3 and
     # logits together, so IS (logits) and FID (pool3) share it — calling
     # inception_score + fid_score would run the dominant device pass twice

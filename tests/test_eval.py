@@ -199,6 +199,73 @@ def test_inception_forward_and_metrics_smoke():
     assert mean >= 1.0 and np.isfinite(std)
 
 
+def test_extract_pipelined_identical_to_single_dispatch():
+    """The depth-1 dispatch pipeline in InceptionFeatures.extract must be
+    a pure scheduling change: multi-batch extraction (with a padded tail)
+    returns byte-identical features to a single-dispatch pass."""
+    from s2i_tpu.eval import InceptionFeatures
+
+    ex = InceptionFeatures(num_classes=8, image_size=75)
+    rng = np.random.default_rng(1)
+    imgs = rng.uniform(-1, 1, (10, 64, 64, 3)).astype(np.float32)
+    p_multi, l_multi = ex.extract(imgs, batch_size=4)  # 3 batches, pad=2
+    assert p_multi.shape == (10, 2048) and l_multi.shape == (10, 8)
+    # serial oracle: the same per-batch program dispatches, forced one at a
+    # time (same batch shape → same compiled program → bitwise features;
+    # a different batch_size would be a DIFFERENT XLA program whose fusion
+    # differs in the last ulp, so that is deliberately not compared here)
+    pools, logits = [], []
+    for i in range(0, 10, 4):
+        b = imgs[i : i + 4]
+        pad = 4 - b.shape[0]
+        if pad:
+            b = np.concatenate([b, np.zeros((pad,) + b.shape[1:], b.dtype)])
+        p, l = ex._fwd(ex.variables, jnp.asarray(b))
+        p, l = np.asarray(p), np.asarray(l)
+        pools.append(p[: 4 - pad])
+        logits.append(l[: 4 - pad])
+    np.testing.assert_array_equal(p_multi, np.concatenate(pools))
+    np.testing.assert_array_equal(l_multi, np.concatenate(logits))
+
+
+def test_preprocess_matches_pytorch_fid_protocol():
+    """EVAL protocol parity (SURVEY.md §7 hard-part 3): with
+    ``quantize_input=True`` the on-device preprocessing must reproduce
+    pytorch-fid's canonical path — image saved as uint8 PNG, read back to
+    [0,1], bilinearly upscaled to 299 px with align_corners=False, scaled
+    to [-1,1] — verified against torch CPU directly."""
+    import torch
+    import torch.nn.functional as F
+
+    from s2i_tpu.eval.features import preprocess
+    from s2i_tpu.utils.images import to_uint8
+
+    rng = np.random.default_rng(2)
+    imgs = rng.uniform(-1, 1, (3, 64, 64, 3)).astype(np.float32)
+
+    ours = np.asarray(preprocess(jnp.asarray(imgs), 299, quantize_input=True))
+
+    u8 = to_uint8(imgs)  # what PNG round-tripping quantizes to
+    t = torch.from_numpy(u8).permute(0, 3, 1, 2).float() / 255.0
+    t = F.interpolate(
+        t, size=(299, 299), mode="bilinear", align_corners=False
+    )
+    want = (2.0 * t - 1.0).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, want, atol=1e-5)
+
+    # the knob is not a no-op on continuous generator outputs
+    exact = np.asarray(preprocess(jnp.asarray(imgs), 299))
+    assert np.abs(exact - ours).max() > 1e-4
+    # ...but IS a no-op on images already decoded from disk (uint8 source):
+    # the dir-based CLI path needs no flag to be protocol-exact
+    from_disk = u8.astype(np.float32) / 127.5 - 1.0
+    np.testing.assert_allclose(
+        np.asarray(preprocess(jnp.asarray(from_disk), 299, quantize_input=True)),
+        np.asarray(preprocess(jnp.asarray(from_disk), 299)),
+        atol=1e-6,
+    )
+
+
 def test_torch_weight_mapper_shapes():
     from s2i_tpu.eval.weights import load_torch_inception
 
