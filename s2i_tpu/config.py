@@ -241,6 +241,9 @@ def default_cfg() -> AttrDict:
                 "CONV_CHANNELS": [64, 128, 256],
                 "CONV_KERNEL": 5,
                 "CONV_STRIDE": 2,
+                # "SAME" | "torch" — ported torch checkpoints need "torch"
+                # (models/encoder.py conv_padding; port/audio_encoder_torch)
+                "CONV_PADDING": "SAME",
                 "RNN_HIDDEN": 512,
                 "RNN_LAYERS": 1,
                 "BIDIRECTIONAL": True,

@@ -106,6 +106,13 @@ class SpeechEncoder(nn.Module):
     conv_channels: tuple[int, ...] = (64, 128, 256)
     conv_kernel: int = 5
     conv_stride: int = 2
+    # "SAME" (TPU-native default) or "torch": symmetric k//2 padding exactly
+    # as torch Conv1d(padding=k//2). Output LENGTHS are identical for odd k
+    # (both = floor((T-1)/s)+1), but SAME pads asymmetrically at even T so
+    # the window ALIGNMENT differs — ported torch encoder checkpoints
+    # (s2i_tpu/port/audio_encoder_torch.py) need "torch" to reproduce the
+    # source model's outputs.
+    conv_padding: str = "SAME"
     rnn_hidden: int = 512
     rnn_layers: int = 1
     bidirectional: bool = True
@@ -125,12 +132,18 @@ class SpeechEncoder(nn.Module):
         # Zero padded frames so their (arbitrary) content cannot leak through
         # the conv receptive field or the BatchNorm statistics.
         x = feats.astype(self.dtype) * mask[:, :, None].astype(self.dtype)
+        if self.conv_padding == "SAME":
+            padding = "SAME"
+        elif self.conv_padding == "torch":
+            padding = [(self.conv_kernel // 2, self.conv_kernel // 2)]
+        else:
+            raise ValueError(f"unknown conv_padding {self.conv_padding!r}")
         for i, ch in enumerate(self.conv_channels):
             x = nn.Conv(
                 ch,
                 (self.conv_kernel,),
                 strides=(self.conv_stride,),
-                padding="SAME",
+                padding=padding,
                 use_bias=False,
                 dtype=self.dtype,
                 name=f"conv{i}",

@@ -28,6 +28,7 @@ def build_encoder(cfg, axis_name: str | None = None) -> SpeechEncoder:
         conv_channels=tuple(e.CONV_CHANNELS),
         conv_kernel=int(e.CONV_KERNEL),
         conv_stride=int(e.CONV_STRIDE),
+        conv_padding=str(getattr(e, "CONV_PADDING", "SAME")),
         rnn_hidden=int(e.RNN_HIDDEN),
         rnn_layers=int(e.RNN_LAYERS),
         bidirectional=bool(e.BIDIRECTIONAL),

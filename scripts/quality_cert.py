@@ -1,0 +1,274 @@
+"""Training-QUALITY certification: demonstrate that the full 3-stage GAN
+recipe CONVERGES, with a fixture-FID-vs-step curve (VERDICT r3 item 2;
+SURVEY.md §4 "the training curves and IS/FID numbers reproduce" is the
+reference's entire validation story).
+
+One process, one device session, four phases:
+
+  1. build a class-structured fixture dataset (per-class sinusoidal-grating
+     images + class-prototype embeddings — learnable conditional structure,
+     no external assets);
+  2. fine-tune the Inception head on the fixture's classes (the StackGAN
+     IS/FID protocol's classifier, scripts/finetune_inception.py math);
+  3. train the b24 recipe config (cfg/birds_3stages.yml: 3 stages, EMA,
+     KL + uncond + color losses) in chunks of --eval_every steps;
+  4. at every chunk boundary (including step 0) sample EVERY fixture
+     embedding with a FIXED seed and record fixture-FID + fixture-IS
+     against the real fixture images, plus an EMA sample grid of the
+     test split.
+
+In-memory eval uses the pytorch-fid protocol knob (quantize_input=True:
+features see the same uint8-quantized pixels a saved-PNG eval would).
+Fixed z per eval point keeps the FID-vs-step curve's sampling noise common
+across checkpoints, so the trend is the training signal.
+
+Outputs under --out:
+  results.jsonl   one line per eval point: step, fid, is_mean, is_std, ...
+  grids/          EMA test-split sample grid per eval point + real grid
+  train/          the GanTrainer run dir (checkpoints, scalars.jsonl)
+
+    python scripts/quality_cert.py --out output/quality --steps 4000
+"""
+import sys, os, argparse, json, subprocess, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_fixture(out: str, classes: int, per_class: int, captions: int,
+                  emb_dim: int, seed: int) -> str:
+    """Generate the fixture on CPU in a subprocess (no device touched —
+    keeps the parent's single TPU session for the train/eval phases)."""
+    fixture = os.path.join(out, "fixture")
+    if os.path.exists(os.path.join(fixture, "train", "filenames.pickle")):
+        print(f"fixture exists: {fixture}")
+        return fixture
+    env = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
+    subprocess.run(
+        [sys.executable, "tools/make_fixture_dataset.py", "--out", fixture,
+         "--classes", str(classes), "--per_class", str(per_class),
+         "--captions", str(captions), "--emb_dim", str(emb_dim),
+         "--seed", str(seed)],
+        cwd=REPO, env=env, check=True,
+    )
+    return fixture
+
+
+def load_real_images(splits, size: int) -> np.ndarray:
+    """All fixture images at the GAN's top scale, [-1,1] NHWC (the FID
+    real set; center-crop-free resize — fixture images are square)."""
+    from PIL import Image
+
+    imgs = []
+    for split in splits:
+        for i in range(len(split)):
+            im = Image.open(split.image_path(i)).convert("RGB")
+            if im.size != (size, size):
+                im = im.resize((size, size), Image.BILINEAR)
+            imgs.append(np.asarray(im, np.float32) / 127.5 - 1.0)
+    return np.stack(imgs)
+
+
+def finetune_inception(cfg, split, n_classes: int, epochs: int, batch: int,
+                       base_size: int, lr: float):
+    """Fine-tune the IS/FID classifier on the fixture classes (StackGAN
+    protocol, scripts/finetune_inception.py equivalents, in-process).
+    A from-scratch InceptionV3's pool3 features are near-collapsed
+    (std ~1e-4) — FID only discriminates once this classifier is genuinely
+    trained, so the cert records its final train accuracy as provenance."""
+    import jax
+    import jax.numpy as jnp
+    from s2i_tpu.data.stackgan import GanEpochIterator
+    from s2i_tpu.eval.finetune import (
+        init_inception_state,
+        make_inception_train_step,
+    )
+
+    model, state = init_inception_state(
+        n_classes, jax.random.key(int(cfg.SEED)), lr=lr
+    )
+    step = make_inception_train_step(model, lr=lr)
+    mets = {}
+    for epoch in range(epochs):
+        it = GanEpochIterator(split, batch, 1, base_size=base_size,
+                              seed=int(cfg.SEED) + epoch)
+        for b in it:
+            state, mets = step(
+                state,
+                jnp.asarray(b["images"][0]),
+                jnp.asarray(b["class_id"] % n_classes),
+            )
+        if epoch % 5 == 0 or epoch == epochs - 1:
+            print(f"  inception epoch {epoch}: "
+                  f"ce={float(mets['ce']):.3f} acc={float(mets['acc']):.3f}")
+    return {"params": state.params, "batch_stats": state.batch_stats}, mets
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default="output/quality")
+    ap.add_argument("--cfg", default="cfg/birds_3stages.yml")
+    ap.add_argument("--classes", type=int, default=16)
+    ap.add_argument("--per_class", type=int, default=20)
+    ap.add_argument("--captions", type=int, default=2)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--eval_every", type=int, default=500)
+    ap.add_argument("--inc_epochs", type=int, default=40)
+    ap.add_argument("--inc_lr", type=float, default=1e-3)
+    ap.add_argument("--eval_batch", type=int, default=32)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
+                    help="extra config overrides (config.apply_overrides)")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    os.makedirs(os.path.join(args.out, "grids"), exist_ok=True)
+
+    from s2i_tpu import config
+
+    cfg = config.cfg_from_file(os.path.join(REPO, args.cfg))
+    if args.set:
+        config.apply_overrides(cfg, args.set)
+    emb_dim = int(cfg.TEXT.DIMENSION)
+    fixture = build_fixture(args.out, args.classes, args.per_class,
+                            args.captions, emb_dim, args.seed)
+    cfg.DATA_DIR = fixture
+    cfg.SEED = args.seed
+    cfg.TEXT.EMBEDDING_FILE = "char-CNN-RNN-embeddings.pickle"
+    cfg.ENCODER.N_CLASSES = args.classes
+    cfg.TRAIN.SNAPSHOT_INTERVAL = args.eval_every
+
+    import jax
+
+    print(f"backend: {jax.default_backend()}, devices: {len(jax.devices())}")
+
+    from s2i_tpu.data.stackgan import StackGanSplit
+    from s2i_tpu.eval import (
+        InceptionFeatures,
+        fid_from_stats,
+        gaussian_stats,
+        inception_score_from_probs,
+    )
+    from s2i_tpu.train.loop import GanTrainer
+    from s2i_tpu.utils import save_image_grid
+
+    train_split = StackGanSplit(fixture, "train")
+    test_split = StackGanSplit(fixture, "test")
+    branch = int(cfg.TREE.BRANCH_NUM)
+    top = int(cfg.TREE.BASE_SIZE) * 2 ** (branch - 1)
+
+    print(f"phase 2: fine-tune Inception on {args.classes} fixture classes")
+    variables, inc_mets = finetune_inception(
+        cfg, train_split, args.classes, args.inc_epochs,
+        int(cfg.TRAIN.BATCH_SIZE), top, args.inc_lr,
+    )
+    # pytorch-fid protocol: eval features see uint8-quantized pixels, the
+    # same bytes a saved-PNG evaluation would (s2i_tpu/eval/features.py)
+    ex = InceptionFeatures(variables, num_classes=args.classes,
+                           quantize_input=True)
+
+    print("phase 3: real-set features")
+    real = load_real_images([train_split, test_split], top)
+    real_pool, real_logits = ex.extract(real, args.eval_batch)
+    real_stats = gaussian_stats(real_pool)
+    # eval-mode holdout check: the classifier must separate the REAL fixture
+    # classes or FID/IS carry no signal (test rows are the last len(test))
+    real_cls = np.concatenate([train_split.class_id, test_split.class_id])
+    eval_acc = float((real_logits.argmax(1) == real_cls).mean())
+    test_acc = float(
+        (real_logits[-len(test_split):].argmax(1)
+         == real_cls[-len(test_split):]).mean()
+    )
+    print(f"  classifier eval-mode acc: all={eval_acc:.3f} test={test_acc:.3f}")
+    save_image_grid(real[: 16], os.path.join(args.out, "grids", "real.png"))
+    emb = np.concatenate(
+        [train_split.embeddings[:, 0], test_split.embeddings[:, 0]]
+    ).astype(np.float32)
+    test_emb = test_split.embeddings[:, 0].astype(np.float32)
+    print(f"  {real.shape[0]} real images, {emb.shape[0]} eval embeddings")
+
+    from s2i_tpu import cli
+
+    trainer = GanTrainer(cfg, os.path.join(args.out, "train"),
+                         cli.gan_batch_factory(cfg))
+    results_path = os.path.join(args.out, "results.jsonl")
+    results = []
+
+    def sample_all(state, embeddings, seed: int) -> np.ndarray:
+        outs = []
+        bs = args.eval_batch
+        for i in range(0, embeddings.shape[0], bs):
+            e = embeddings[i : i + bs]
+            pad = bs - e.shape[0]
+            if pad:
+                e = np.concatenate([e, np.zeros((pad, e.shape[1]), e.dtype)])
+            imgs = trainer.sample_fn(state, jax.numpy.asarray(e),
+                                     jax.random.key(seed))
+            imgs = np.asarray(imgs[-1])
+            outs.append(imgs[: bs - pad] if pad else imgs)
+        return np.concatenate(outs)
+
+    def evaluate(step: int, train_mets: dict) -> None:
+        t0 = time.time()
+        fake = sample_all(trainer.state, emb, seed=123)
+        pool, logits = ex.extract(fake, args.eval_batch)
+        fid = fid_from_stats(*gaussian_stats(pool), *real_stats)
+        logits = logits - logits.max(axis=1, keepdims=True)
+        e = np.exp(logits)
+        is_mean, is_std = inception_score_from_probs(
+            e / e.sum(axis=1, keepdims=True), splits=5
+        )
+        grid = sample_all(trainer.state, test_emb, seed=123)[:16]
+        save_image_grid(
+            grid, os.path.join(args.out, "grids", f"step_{step:07d}.png")
+        )
+        rec = {
+            "step": step,
+            "fid": round(float(fid), 3),
+            "is_mean": round(float(is_mean), 4),
+            "is_std": round(float(is_std), 4),
+            "n_fake": int(fake.shape[0]),
+            "n_real": int(real.shape[0]),
+            "eval_s": round(time.time() - t0, 1),
+            **{k: round(float(v), 4) for k, v in train_mets.items()},
+        }
+        results.append(rec)
+        with open(results_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"  step {step}: FID={rec['fid']} IS={rec['is_mean']}"
+              f"±{rec['is_std']} ({rec['eval_s']}s)")
+
+    print(f"phase 4: train {args.steps} steps, eval every {args.eval_every}")
+    evaluate(int(trainer.state.step), {})
+    t_train = 0.0
+    try:
+        while int(trainer.state.step) < args.steps:
+            target = min(
+                int(trainer.state.step) + args.eval_every, args.steps
+            )
+            t0 = time.time()
+            mets = trainer.train(max_epoch=10**6, max_steps=target)
+            t_train += time.time() - t0
+            evaluate(int(trainer.state.step), mets)
+    finally:
+        trainer.close()
+
+    summary = {
+        "steps": int(results[-1]["step"]),
+        "fid_first": results[0]["fid"],
+        "fid_best": min(r["fid"] for r in results),
+        "fid_last": results[-1]["fid"],
+        "is_last": results[-1]["is_mean"],
+        "inception_acc": round(float(inc_mets["acc"]), 3),
+        "inception_eval_acc": round(eval_acc, 3),
+        "inception_test_acc": round(test_acc, 3),
+        "train_wall_s": round(t_train, 1),
+        "curve": results,
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: v for k, v in summary.items() if k != "curve"}))
+
+
+if __name__ == "__main__":
+    main()
