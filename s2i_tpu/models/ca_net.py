@@ -54,8 +54,15 @@ class CANet(nn.Module):
 
 
 def kl_divergence(mu: jax.Array, logvar: jax.Array) -> jax.Array:
-    """Mean KL(N(mu, sigma) || N(0, 1)) over the batch (scalar, fp32)."""
+    """KL(N(mu, sigma) || N(0, 1)) with the REFERENCE's normalization:
+    the StackGAN-lineage ``KL_loss`` takes ``torch.mean`` of the per-element
+    KL integrand over batch AND condition dims (not the textbook per-example
+    dim-sum), so the effective weight of ``TRAIN.COEFF.KL`` is 1/c_dim of
+    the dim-summed form. Matching this exactly matters: with c_dim=128 the
+    dim-summed form is a 128x stronger regularizer, which collapses the CA
+    posterior onto the prior and strips the conditioning signal (observed as
+    a flat fixture-FID curve in the round-4 convergence cert)."""
     mu = mu.astype(jnp.float32)
     logvar = logvar.astype(jnp.float32)
-    kl = -0.5 * jnp.sum(1.0 + logvar - jnp.square(mu) - jnp.exp(logvar), axis=-1)
-    return jnp.mean(kl)
+    kl = 1.0 + logvar - jnp.square(mu) - jnp.exp(logvar)
+    return -0.5 * jnp.mean(kl)

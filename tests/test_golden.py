@@ -37,7 +37,10 @@ def test_golden_generator_forward():
     imgs = g.apply(v, z, c, train=False)
     out = np.asarray(imgs[-1])
     assert out.shape == (2, 128, 128, 3)
-    np.testing.assert_allclose(float(np.abs(out).mean()), 3.81747e-4, rtol=5e-2)
+    # pinned under the orthogonal conv init (StackGAN-v2 weights_init
+    # lineage, layers.conv_init); was 3.81747e-4 under the round-1..3
+    # N(0, 0.02) DCGAN init
+    np.testing.assert_allclose(float(np.abs(out).mean()), 8.146852e-2, rtol=5e-2)
 
 
 def test_golden_encoder_forward():
