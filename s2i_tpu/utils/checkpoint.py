@@ -60,11 +60,39 @@ class CheckpointManager:
         names. For structure-tolerant consumers (the encoder warm-start
         graft) that validate shapes themselves — a template restore would
         hard-fail inside Orbax on any geometry drift before the caller
-        could produce a useful message."""
+        could produce a useful message.
+
+        Sharding-agnostic: a checkpoint written on one backend (TPU) must
+        restore on another (CPU tooling, porters, inspectors). Orbax's
+        template-free restore replays the SAVED shardings and raises when
+        the saving device is absent, so on failure this falls back to a
+        shape/dtype template built from checkpoint metadata — arrays land
+        on the current default device."""
         step = self._mgr.latest_step()
         if step is None:
             return None
-        return self._mgr.restore(step, args=ocp.args.StandardRestore()), step
+        try:
+            return (
+                self._mgr.restore(step, args=ocp.args.StandardRestore()),
+                step,
+            )
+        except ValueError:
+            with ocp.CheckpointManager(
+                self._dir,
+                item_handlers={"default": ocp.StandardCheckpointHandler()},
+            ) as meta_mgr:
+                meta = meta_mgr.item_metadata(step)["default"]
+            dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            template = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=dev),
+                meta,
+            )
+            return (
+                self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(template)
+                ),
+                step,
+            )
 
     def close(self) -> None:
         self._mgr.close()
