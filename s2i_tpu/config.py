@@ -123,6 +123,11 @@ def default_cfg() -> AttrDict:
                 # (StackGAN-v2 lineage keeps avg_param_G with decay 0.999);
                 # 0 disables.
                 "EMA_G": 0.999,
+                # Track raw params exactly for this many steps before the
+                # Polyak average engages (early params swing through modes
+                # whose average is off-manifold mean color; see
+                # train/gan.py). 0 = classic cold-start EMA.
+                "EMA_WARMUP": 0,
             },
             "GAN": {
                 "DF_DIM": 64,

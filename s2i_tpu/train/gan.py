@@ -384,15 +384,18 @@ def wrong_pair_sources(class_id: jax.Array) -> jax.Array:
     """Per-example source index for a class-aware "wrong" pair: the nearest
     preceding batch element (smallest roll shift ≥1) whose class differs.
     Falls back to shift 1 — the reference's plain roll — for an example whose
-    class fills the whole batch. Static unrolled loop over B (tiny)."""
+    class fills the whole batch.
+
+    One gathered [B, B-1] comparison + argmax over the shift axis: a few
+    traced ops at any B (the previous statically-unrolled roll loop traced
+    ~5·B ops — b96's class_aware compile carried 95 rolls)."""
     B = class_id.shape[0]
-    shift = jnp.ones((B,), jnp.int32)
-    done = jnp.zeros((B,), bool)
-    for s in range(1, B):
-        differs = class_id != jnp.roll(class_id, s)
-        take = differs & ~done
-        shift = jnp.where(take, s, shift)
-        done = done | take
+    if B == 1:
+        return jnp.zeros((1,), jnp.int32)
+    i = jnp.arange(B)[:, None]
+    s = jnp.arange(1, B)[None, :]
+    differs = class_id[(i - s) % B] != class_id[:, None]  # [B, B-1]
+    shift = jnp.where(differs.any(axis=1), 1 + jnp.argmax(differs, axis=1), 1)
     return (jnp.arange(B) - shift) % B
 
 
@@ -430,6 +433,7 @@ def make_train_step(
     b_condition = bool(cfg.GAN.B_CONDITION)
     z_dim = int(cfg.GAN.Z_DIM)
     ema_decay = float(cfg.TRAIN.EMA_G)
+    ema_warmup = int(getattr(cfg.TRAIN, "EMA_WARMUP", 0))
     joint = models.encoder is not None
     g_tx = _adam(cfg, float(cfg.TRAIN.GENERATOR_LR))
     d_tx = _adam(cfg, float(cfg.TRAIN.DISCRIMINATOR_LR))
@@ -633,9 +637,20 @@ def make_train_step(
             g_stats_new["enc"] = state.g_stats["enc"]
 
         if ema_decay > 0:
+            # TRAIN.EMA_WARMUP: track raw params exactly (decay 0) for the
+            # first N steps, then switch to Polyak. Early GAN params swing
+            # through disparate modes whose average is off-manifold — a
+            # cold-started EMA G emits mean color for ~1/(1-decay) steps
+            # (observed in the round-4 convergence cert: raw FID halved
+            # while EMA FID sat at the init value for 3k+ steps).
+            decay_t = jnp.where(
+                state.step < ema_warmup, 0.0, ema_decay
+            ).astype(jnp.float32)
             cur = {"ca": g_params_new["ca"], "g": g_params_new["g"]}
             ema = jax.tree.map(
-                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                lambda e, p: (
+                    e * decay_t + p.astype(jnp.float32) * (1.0 - decay_t)
+                ).astype(e.dtype),
                 state.ema_g,
                 cur,
             )
