@@ -567,7 +567,7 @@ def main():
         choices=[
             "gan", "mel", "both", "ab", "parts", "batch", "dtrunk", "cvjp",
             "enc", "joint", "s2d", "moments", "stack", "s2dmid", "b48",
-            "bigbatch",
+            "bigbatch", "b128opt",
         ],
         default="both",
     )
@@ -777,6 +777,26 @@ def main():
             ),
         ]:
             out.extend(cert_gan_ab(variants=[(ref_name, 96, {}), cand]))
+    if args.what == "b128opt":
+        # Neighborhood of the round-4 b128 sweet spot (933 imgs/sec,
+        # +21.2% over b96 in-session): does throughput keep rising toward
+        # the HBM wall (b144/b160, no remat — OOM is caught and reported
+        # as the wall), and does the bf16 Adam-moment lever (+1.0% at b96)
+        # still stack at b128? Same pairwise-chunk methodology as
+        # bigbatch, with b128 itself as the session reference.
+        for ref_name, cand in [
+            ("gan_b128_ref_a", ("gan_b144", 144, {})),
+            ("gan_b128_ref_b", ("gan_b160", 160, {})),
+            (
+                "gan_b128_ref_c",
+                (
+                    "gan_b128_m_bf16",
+                    128,
+                    {"TRAIN.MOMENT_DTYPE": "bfloat16"},
+                ),
+            ),
+        ]:
+            out.extend(cert_gan_ab(variants=[(ref_name, 128, {}), cand]))
     if args.what == "parts":
         out.extend(cert_gan_parts())
     if args.what == "batch":
