@@ -117,6 +117,11 @@ def main():
     ap.add_argument("--inc_epochs", type=int, default=40)
     ap.add_argument("--inc_lr", type=float, default=1e-3)
     ap.add_argument("--eval_batch", type=int, default=32)
+    ap.add_argument("--eval_n", type=int, default=0,
+                    help="sample at most this many embeddings per eval point "
+                    "(fixed seeded subset; 0 = all). Keeps per-eval cost "
+                    "flat when the fixture is large — real-set FID stats "
+                    "still use every real image.")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
                     help="extra config overrides (config.apply_overrides)")
@@ -184,6 +189,11 @@ def main():
     emb = np.concatenate(
         [train_split.embeddings[:, 0], test_split.embeddings[:, 0]]
     ).astype(np.float32)
+    if args.eval_n and emb.shape[0] > args.eval_n:
+        # fixed subset: the curve's sampling population is constant across
+        # eval points, so the trend stays the training signal
+        sel = np.random.default_rng(args.seed).permutation(emb.shape[0])
+        emb = emb[np.sort(sel[: args.eval_n])]
     test_emb = test_split.embeddings[:, 0].astype(np.float32)
     print(f"  {real.shape[0]} real images, {emb.shape[0]} eval embeddings")
 
@@ -191,10 +201,16 @@ def main():
 
     trainer = GanTrainer(cfg, os.path.join(args.out, "train"),
                          cli.gan_batch_factory(cfg))
+    # EMA sampler (trainer.sample_fn) is the headline; the raw-params
+    # sampler distinguishes Polyak lag from genuine training failure.
+    from s2i_tpu.train.gan import make_sample_fn
+
+    raw_sample_fn = jax.jit(make_sample_fn(cfg, trainer.models, use_ema=False))
     results_path = os.path.join(args.out, "results.jsonl")
     results = []
 
-    def sample_all(state, embeddings, seed: int) -> np.ndarray:
+    def sample_all(state, embeddings, seed: int, fn=None) -> np.ndarray:
+        fn = fn or trainer.sample_fn
         outs = []
         bs = args.eval_batch
         for i in range(0, embeddings.shape[0], bs):
@@ -202,15 +218,12 @@ def main():
             pad = bs - e.shape[0]
             if pad:
                 e = np.concatenate([e, np.zeros((pad, e.shape[1]), e.dtype)])
-            imgs = trainer.sample_fn(state, jax.numpy.asarray(e),
-                                     jax.random.key(seed))
+            imgs = fn(state, jax.numpy.asarray(e), jax.random.key(seed))
             imgs = np.asarray(imgs[-1])
             outs.append(imgs[: bs - pad] if pad else imgs)
         return np.concatenate(outs)
 
-    def evaluate(step: int, train_mets: dict) -> None:
-        t0 = time.time()
-        fake = sample_all(trainer.state, emb, seed=123)
+    def fid_is_of(fake: np.ndarray) -> tuple[float, float, float]:
         pool, logits = ex.extract(fake, args.eval_batch)
         fid = fid_from_stats(*gaussian_stats(pool), *real_stats)
         logits = logits - logits.max(axis=1, keepdims=True)
@@ -218,15 +231,35 @@ def main():
         is_mean, is_std = inception_score_from_probs(
             e / e.sum(axis=1, keepdims=True), splits=5
         )
+        return float(fid), float(is_mean), float(is_std)
+
+    def evaluate(step: int, train_mets: dict) -> None:
+        t0 = time.time()
+        fake = sample_all(trainer.state, emb, seed=123)
+        fid, is_mean, is_std = fid_is_of(fake)
+        raw_fake = sample_all(trainer.state, emb, seed=123, fn=raw_sample_fn)
+        raw_fid, raw_is, _ = fid_is_of(raw_fake)
         grid = sample_all(trainer.state, test_emb, seed=123)[:16]
         save_image_grid(
             grid, os.path.join(args.out, "grids", f"step_{step:07d}.png")
+        )
+        # Raw-params grid too: with EMA_G=0.999 the Polyak average trails
+        # training by ~1k steps, so early EMA grids show mean color long
+        # after the raw G has structure — both views belong in QUALITY.md.
+        raw_grid = sample_all(
+            trainer.state, test_emb, seed=123, fn=raw_sample_fn
+        )[:16]
+        save_image_grid(
+            raw_grid,
+            os.path.join(args.out, "grids", f"step_{step:07d}_raw.png"),
         )
         rec = {
             "step": step,
             "fid": round(float(fid), 3),
             "is_mean": round(float(is_mean), 4),
             "is_std": round(float(is_std), 4),
+            "raw_fid": round(float(raw_fid), 3),
+            "raw_is": round(float(raw_is), 4),
             "n_fake": int(fake.shape[0]),
             "n_real": int(real.shape[0]),
             "eval_s": round(time.time() - t0, 1),
@@ -259,6 +292,9 @@ def main():
         "fid_best": min(r["fid"] for r in results),
         "fid_last": results[-1]["fid"],
         "is_last": results[-1]["is_mean"],
+        "raw_fid_best": min(r.get("raw_fid", r["fid"]) for r in results),
+        "raw_fid_last": results[-1].get("raw_fid"),
+        "raw_is_best": max(r.get("raw_is", r["is_mean"]) for r in results),
         "inception_acc": round(float(inc_mets["acc"]), 3),
         "inception_eval_acc": round(eval_acc, 3),
         "inception_test_acc": round(test_acc, 3),
