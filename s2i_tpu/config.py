@@ -271,6 +271,14 @@ def default_cfg() -> AttrDict:
                 "IS_SPLITS": 10,
                 "FID_BATCH": 64,
                 "INCEPTION_WEIGHTS": "",  # path to ported fine-tuned weights
+                # Re-estimate G's BatchNorm running stats under the EMA
+                # (Polyak) weights with this many forward batches before
+                # EMA sampling (0 = off). The averaged weights otherwise
+                # run with raw-trajectory stats — the reference lineage's
+                # latent flaw (torch buffers aren't averaged), catastrophic
+                # when params move fast vs the EMA horizon (train/gan.py
+                # make_bn_recalc_fn; docs/QUALITY.md round-4 diagnosis).
+                "EMA_BN_RECALC": 0,
             },
             "MESH": {
                 # Parallelism (SURVEY.md §2 parallelism rows): data-parallel is

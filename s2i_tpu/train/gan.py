@@ -679,6 +679,69 @@ def make_train_step(
     return train_step
 
 
+def make_bn_recalc_fn(
+    cfg, models: GanModels, batches: int = 30, batch_size: int | None = None
+) -> Callable:
+    """Re-estimate G's BatchNorm running stats under the EMA weights.
+
+    The Polyak-averaged G (``state.ema_g``) is otherwise evaluated with
+    running stats collected along the RAW parameter trajectory
+    (``state.g_stats['g']``) — the same latent flaw as the reference
+    lineage, where ``avg_param_G`` covers ``netG.parameters()`` but torch
+    BN buffers are never averaged. When params move fast relative to the
+    EMA horizon the weight/stat mismatch is catastrophic: in the round-4
+    convergence cert the EMA G emitted structure-free mean color
+    (fixture-FID 2301 at IS=1.0) while the raw G sat at FID 463; thirty
+    re-estimation batches restored class-grating structure on the same
+    checkpoint (docs/QUALITY.md). The standard fix from the
+    weight-averaging GAN literature is to re-estimate the BN population
+    statistics under the averaged weights before evaluating them.
+
+    Returns ``recalc(state, embeddings, rng) -> batch_stats`` (the new
+    ``g_stats['g']``), jittable: a ``lax.scan`` of ``batches`` train-mode
+    G forwards with EMA params — eval-mode CA conditioning (c = mu) on a
+    random batch of ``embeddings`` and fresh z per pass, the same input
+    distribution sampling uses. With BN momentum 0.9 the initial stats'
+    weight after 30 passes is 0.9^30 ≈ 4%. Feed the result back via
+    ``state.replace(g_stats={**state.g_stats, 'g': recalced})`` and
+    sample as usual. Enable in eval drivers with ``EVAL.EMA_BN_RECALC``.
+    """
+    z_dim = int(cfg.GAN.Z_DIM)
+    bs = int(batch_size or cfg.TRAIN.BATCH_SIZE)
+
+    def recalc(state: GanTrainState, embeddings: jax.Array, rng: jax.Array):
+        params = (
+            state.ema_g
+            if state.ema_g
+            else {"ca": state.g_params["ca"], "g": state.g_params["g"]}
+        )
+
+        def body(stats, r):
+            r_idx, r_z = jax.random.split(r)
+            idx = jax.random.randint(
+                r_idx, (bs,), 0, embeddings.shape[0]
+            )
+            c, _, _ = models.ca.apply(
+                {"params": params["ca"]}, embeddings[idx], train=False
+            )
+            z = jax.random.normal(r_z, (bs, z_dim), jnp.float32)
+            _, upd = models.g.apply(
+                {"params": params["g"], "batch_stats": stats},
+                z,
+                c,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return upd["batch_stats"], None
+
+        stats, _ = jax.lax.scan(
+            body, state.g_stats["g"], jax.random.split(rng, batches)
+        )
+        return stats
+
+    return recalc
+
+
 def make_sample_fn(
     cfg, models: GanModels, use_ema: bool = True, axis_name: str | None = None
 ) -> Callable:

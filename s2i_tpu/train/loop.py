@@ -128,7 +128,32 @@ class GanTrainer:
             self.sample_fn = make_parallel_sample_fn(cfg, self.models, mesh)
         else:
             self.sample_fn = jax.jit(gan.make_sample_fn(cfg, self.models))
+        recalc_n = int(getattr(cfg.EVAL, "EMA_BN_RECALC", 0))
+        self._bn_recalc = (
+            jax.jit(gan.make_bn_recalc_fn(cfg, self.models, batches=recalc_n))
+            if recalc_n > 0 and float(cfg.TRAIN.EMA_G) > 0
+            else None
+        )
         self._write_run_metadata()
+
+    def eval_state(self, embeddings, seed: int = 0):
+        """The state EMA evaluation should sample from.
+
+        With ``EVAL.EMA_BN_RECALC`` > 0, G's BatchNorm running stats are
+        re-estimated under the EMA weights (gan.make_bn_recalc_fn — the
+        raw-trajectory stats mismatch the averaged weights; docs/QUALITY.md
+        round-4 diagnosis) using ``embeddings`` as the conditioning pool.
+        Otherwise returns ``self.state`` unchanged."""
+        if self._bn_recalc is None:
+            return self.state
+        stats = self._bn_recalc(
+            self.state, jax.numpy.asarray(embeddings), jax.random.key(seed)
+        )
+        if self._mesh_size() > 1:
+            # the shard_map sample fn expects replicated inputs; host-round-
+            # trip the (tiny) stats so they re-shard with the state
+            stats = jax.device_get(stats)
+        return self.state.replace(g_stats={**self.state.g_stats, "g": stats})
 
     def _write_run_metadata(self) -> None:
         """Run provenance: versions, devices, parameter counts."""
@@ -428,7 +453,8 @@ class GanTrainer:
                 [emb, np.zeros((pad, emb.shape[1]), emb.dtype)]
             )
         imgs = self.sample_fn(
-            self.state, jax.numpy.asarray(emb), jax.random.key(42)
+            self.eval_state(emb, seed=42), jax.numpy.asarray(emb),
+            jax.random.key(42),
         )
         grid = save_image_grid(
             np.asarray(imgs[-1])[:n],
@@ -454,6 +480,7 @@ class GanTrainer:
         batch_size = ((batch_size + m - 1) // m) * m
         n = embeddings.shape[0]
         names = names or [f"{i:06d}" for i in range(n)]
+        state = self.eval_state(embeddings, seed=seed)
         for s in range(samples_per_emb):
             outs = []
             for i in range(0, n, batch_size):
@@ -462,7 +489,7 @@ class GanTrainer:
                 if pad:
                     e = np.concatenate([e, np.zeros((pad, e.shape[1]), e.dtype)])
                 imgs = self.sample_fn(
-                    self.state, jax.numpy.asarray(e), jax.random.key(seed + s)
+                    state, jax.numpy.asarray(e), jax.random.key(seed + s)
                 )
                 top = np.asarray(imgs[-1])
                 outs.append(top[: batch_size - pad] if pad else top)

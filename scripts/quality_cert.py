@@ -122,6 +122,12 @@ def main():
                     "(fixed seeded subset; 0 = all). Keeps per-eval cost "
                     "flat when the fixture is large — real-set FID stats "
                     "still use every real image.")
+    ap.add_argument("--ema_bn_recalc", type=int, default=0,
+                    help="re-estimate G's BN stats under the EMA weights "
+                    "with this many batches before each EMA eval "
+                    "(EVAL.EMA_BN_RECALC; 0 = off). When on, 'fid'/'is' "
+                    "are the recalced EMA and 'ema_stale_fid' keeps the "
+                    "raw-trajectory-stats EMA for comparison.")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
                     help="extra config overrides (config.apply_overrides)")
@@ -142,6 +148,7 @@ def main():
     cfg.TEXT.EMBEDDING_FILE = "char-CNN-RNN-embeddings.pickle"
     cfg.ENCODER.N_CLASSES = args.classes
     cfg.TRAIN.SNAPSHOT_INTERVAL = args.eval_every
+    cfg.EVAL.EMA_BN_RECALC = args.ema_bn_recalc
 
     import jax
 
@@ -167,6 +174,11 @@ def main():
         cfg, train_split, args.classes, args.inc_epochs,
         int(cfg.TRAIN.BATCH_SIZE), top, args.inc_lr,
     )
+    # persist the classifier: post-hoc evals (scripts/posthoc_quality_eval)
+    # must score later checkpoints in the SAME feature space as the curve
+    import pickle
+    with open(os.path.join(args.out, "inception_finetuned.pkl"), "wb") as f:
+        pickle.dump(jax.tree.map(lambda x: np.asarray(x), variables), f)
     # pytorch-fid protocol: eval features see uint8-quantized pixels, the
     # same bytes a saved-PNG evaluation would (s2i_tpu/eval/features.py)
     ex = InceptionFeatures(variables, num_classes=args.classes,
@@ -235,11 +247,20 @@ def main():
 
     def evaluate(step: int, train_mets: dict) -> None:
         t0 = time.time()
-        fake = sample_all(trainer.state, emb, seed=123)
+        # EMA eval state: with --ema_bn_recalc, G's BN stats re-estimated
+        # under the EMA weights (trainer.eval_state == the production knob)
+        ema_state = trainer.eval_state(emb, seed=777)
+        stale = {}
+        if args.ema_bn_recalc:
+            stale_fake = sample_all(trainer.state, emb, seed=123)
+            s_fid, s_is, _ = fid_is_of(stale_fake)
+            stale = {"ema_stale_fid": round(s_fid, 3),
+                     "ema_stale_is": round(s_is, 4)}
+        fake = sample_all(ema_state, emb, seed=123)
         fid, is_mean, is_std = fid_is_of(fake)
         raw_fake = sample_all(trainer.state, emb, seed=123, fn=raw_sample_fn)
         raw_fid, raw_is, _ = fid_is_of(raw_fake)
-        grid = sample_all(trainer.state, test_emb, seed=123)[:16]
+        grid = sample_all(ema_state, test_emb, seed=123)[:16]
         save_image_grid(
             grid, os.path.join(args.out, "grids", f"step_{step:07d}.png")
         )
@@ -263,6 +284,7 @@ def main():
             "n_fake": int(fake.shape[0]),
             "n_real": int(real.shape[0]),
             "eval_s": round(time.time() - t0, 1),
+            **stale,
             **{k: round(float(v), 4) for k, v in train_mets.items()},
         }
         results.append(rec)

@@ -181,6 +181,43 @@ def test_trainer_sample_to_dir(tmp_path):
     assert len(os.listdir(tmp_path / "samples")) == 5
 
 
+def test_eval_state_bn_recalc_knob(tmp_path):
+    """EVAL.EMA_BN_RECALC wires gan.make_bn_recalc_fn into the trainer's
+    EMA sampling: eval_state returns a state whose G batch_stats were
+    re-estimated under the EMA weights (structure preserved, values
+    changed) and the sample path consumes it; with the knob off,
+    eval_state is the identity."""
+    cfg = tiny_cfg(**{"EVAL.EMA_BN_RECALC": 3})
+    out = str(tmp_path / "run")
+    t = GanTrainer(cfg, out, gan_batch_factory(cfg))
+    t.train(max_epoch=1)
+    emb = np.random.default_rng(0).normal(size=(6, 32)).astype(np.float32)
+    es = t.eval_state(emb, seed=1)
+    same_tree = jax.tree.structure(es.g_stats) == jax.tree.structure(
+        t.state.g_stats
+    )
+    assert same_tree
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(es.g_stats["g"]),
+            jax.tree.leaves(t.state.g_stats["g"]),
+        )
+    )
+    assert changed
+    # params/opt untouched; only stats swapped
+    assert es.g_params is t.state.g_params
+    # the production sample path runs on it end-to-end
+    t.sample_to_dir(emb, str(tmp_path / "samples"), batch_size=4)
+    assert len(os.listdir(tmp_path / "samples")) == 6
+    t.close()
+
+    cfg2 = tiny_cfg()
+    t2 = GanTrainer(cfg2, str(tmp_path / "run2"), gan_batch_factory(cfg2))
+    assert t2.eval_state(emb) is t2.state
+    t2.close()
+
+
 def test_debug_nans_guard(tmp_path):
     cfg = tiny_cfg(**{"TRAIN.DEBUG_NANS": True, "TRAIN.GENERATOR_LR": 1.0e6})
     out = str(tmp_path / "run")

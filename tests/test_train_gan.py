@@ -130,6 +130,52 @@ def test_ema_warmup_tracks_raw_then_averages():
     assert 0 < d < 1e-2
 
 
+def test_bn_recalc_restores_corrupted_stats():
+    """gan.make_bn_recalc_fn: re-estimating G's BN running stats under the
+    EMA weights must recover eval-mode behavior from arbitrarily wrong
+    stats (the round-4 EMA-collapse diagnosis: Polyak weights with
+    raw-trajectory stats emitted structure-free mean color while the raw
+    G had FID 463 — docs/QUALITY.md). Property pinned here: with EMA ==
+    raw params (warmup), eval-mode outputs under stats recalced FROM
+    CORRUPTED values land back at the honest-running-stats outputs — the
+    corrupt init is washed out (momentum 0.9^40 ≈ 1.5% residual) — while
+    the corrupted stats themselves are far off (measured: corrupt 0.25
+    mean-abs from honest, recalced 0.046)."""
+    cfg = tiny_cfg(branch_num=1)
+    cfg.TRAIN.EMA_WARMUP = 1000  # ema_g tracks raw exactly → known-good ref
+    models = gan.build_models(cfg)
+    ds, batch = gan_batch(cfg)
+    state = gan.init_state(cfg, models, jax.random.key(0), batch)
+    step = jax.jit(gan.make_train_step(cfg, models))
+    for i in range(5):
+        state, _ = step(state, batch, jax.random.key(i))
+
+    params = state.ema_g
+    emb = jnp.asarray(batch["embedding"])
+    z = jax.random.normal(jax.random.key(7), (8, int(cfg.GAN.Z_DIM)))
+    c, _, _ = models.ca.apply({"params": params["ca"]}, emb, train=False)
+
+    def eval_out(stats):
+        return models.g.apply(
+            {"params": params["g"], "batch_stats": stats}, z, c, train=False
+        )[-1]
+
+    base = eval_out(state.g_stats["g"])  # honest running-stats outputs
+
+    def dist(stats) -> float:
+        return float(jnp.abs(eval_out(stats) - base).mean())
+
+    corrupt = jax.tree.map(lambda x: x * 50.0 + 3.0, state.g_stats["g"])
+    bad = state.replace(g_stats={**state.g_stats, "g": corrupt})
+    recalc = jax.jit(gan.make_bn_recalc_fn(cfg, models, batches=40))
+    fixed = recalc(bad, emb, jax.random.key(11))
+    assert dist(fixed) < 0.3 * dist(corrupt), (dist(fixed), dist(corrupt))
+    # deterministic: same rng → bitwise-identical stats
+    again = recalc(bad, emb, jax.random.key(11))
+    for a, b in zip(jax.tree.leaves(fixed), jax.tree.leaves(again)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_joint_mode_updates_encoder():
     cfg = tiny_cfg(branch_num=1, joint=True)
     models = gan.build_models(cfg, joint=True)

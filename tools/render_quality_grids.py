@@ -56,8 +56,19 @@ def main():
         raw_fn = jax.jit(make_sample_fn(cfg, trainer.models, use_ema=False))
         out = os.path.join(args.run, "grids")
         os.makedirs(out, exist_ok=True)
-        for tag, fn in (("ema", trainer.sample_fn), ("raw", raw_fn)):
-            imgs = np.asarray(fn(trainer.state, test_emb, key)[-1])[:16]
+        renders = [("ema", trainer.sample_fn, trainer.state),
+                   ("raw", raw_fn, trainer.state)]
+        if int(cfg.EVAL.EMA_BN_RECALC) > 0:
+            # EMA weights with BN stats re-estimated under them (the
+            # round-4 EMA-collapse diagnosis, gan.make_bn_recalc_fn);
+            # pool = the train-split embeddings, like a real eval would
+            pool = StackGanSplit(fixture, "train").embeddings[:, 0]
+            renders.append((
+                "ema_recalc", trainer.sample_fn,
+                trainer.eval_state(pool.astype(np.float32), seed=args.seed),
+            ))
+        for tag, fn, state in renders:
+            imgs = np.asarray(fn(state, test_emb, key)[-1])[:16]
             path = os.path.join(out, f"step_{step:07d}_{tag}.png")
             save_image_grid(imgs, path)
             print(f"{tag} grid at step {step}: {path}")
