@@ -782,13 +782,21 @@ def main():
         # +21.2% over b96 in-session): does throughput keep rising toward
         # the HBM wall (b144/b160, no remat — OOM is caught and reported
         # as the wall), and does the bf16 Adam-moment lever (+1.0% at b96)
-        # still stack at b128? Same pairwise-chunk methodology as
-        # bigbatch, with b128 itself as the session reference.
+        # still stack at b128? Pairwise chunks as in bigbatch, but the
+        # in-chunk reference is b96, NOT b128: the first attempt used
+        # b128-as-reference and OOMed every chunk INCLUDING the b128
+        # reference itself — two ≥b128 train states + executables cannot
+        # co-reside in 16 GB HBM (itself a useful datum: b128 alone fits
+        # with slack < one b144 state). b96 is proven to co-reside with
+        # candidates up to b192-remat (the bigbatch cert), and candidates
+        # compare through b96's certified ladder (b128 = +21.2% vs
+        # in-session b96 — a candidate beats b128 iff its vs-b96 gain
+        # exceeds that).
         for ref_name, cand in [
-            ("gan_b128_ref_a", ("gan_b144", 144, {})),
-            ("gan_b128_ref_b", ("gan_b160", 160, {})),
+            ("gan_b96_ref_a", ("gan_b144", 144, {})),
+            ("gan_b96_ref_b", ("gan_b160", 160, {})),
             (
-                "gan_b128_ref_c",
+                "gan_b96_ref_c",
                 (
                     "gan_b128_m_bf16",
                     128,
@@ -796,7 +804,7 @@ def main():
                 ),
             ),
         ]:
-            out.extend(cert_gan_ab(variants=[(ref_name, 128, {}), cand]))
+            out.extend(cert_gan_ab(variants=[(ref_name, 96, {}), cand]))
     if args.what == "parts":
         out.extend(cert_gan_parts())
     if args.what == "batch":
