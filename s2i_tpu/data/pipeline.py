@@ -57,14 +57,24 @@ class Prefetcher:
             # get() forever after it drains the buffered items
             self._put(self._DONE)
 
-    def close(self) -> None:
-        """Idempotent: stop the producer and release buffered items."""
+    def close(self, join_timeout: float = 30.0) -> None:
+        """Idempotent: stop the producer, release buffered items, and reap
+        the producer thread (bounded join). Stopping without joining is
+        not enough: a daemon worker abandoned inside native dispatch (the
+        producer runs jax featurize/device_put for the consumer) aborts
+        the whole process at interpreter shutdown ("terminate called …
+        FATAL: exception not rethrown"), observed on early-stopping
+        consumers. After ``_stop`` is set the worker exits within one
+        ``_put`` poll of finishing its current item, so the join is
+        bounded by one upstream ``next()`` in practice; ``join_timeout``
+        caps it against a pathological producer."""
         self._stop.set()
         while True:
             try:
                 self._q.get_nowait()
             except queue.Empty:
                 break
+        self._thread.join(timeout=join_timeout)
 
     def __iter__(self) -> Iterator:
         try:

@@ -480,3 +480,23 @@ def test_ship_top_only_iterator(fake_dataset):
     derived = expand_image_pyramid(normalize_images(b_top["images"]), 3)
     for host, dev in zip(b_all["images"], derived):
         np.testing.assert_allclose(host, np.asarray(dev), atol=2e-5)
+
+
+def test_prefetch_early_break_reaps_producer_thread():
+    """An early-stopping consumer (max_steps windows, eval-chunked certs)
+    must leave no live producer thread behind: a daemon worker abandoned
+    inside native dispatch aborts the process at interpreter shutdown
+    ("FATAL: exception not rethrown"), so close() joins after stopping."""
+    from s2i_tpu.data.pipeline import Prefetcher
+
+    p = Prefetcher(iter(range(100)), depth=2)
+    for x in iter(p):
+        assert x == 0
+        break  # finalizes the iterator -> close() -> bounded join
+    assert not p._thread.is_alive()
+
+    # and close() stays idempotent after a normal full drain
+    p2 = Prefetcher(iter(range(3)), depth=2)
+    assert list(iter(p2)) == [0, 1, 2]
+    assert not p2._thread.is_alive()
+    p2.close()
