@@ -753,6 +753,16 @@ def make_sample_fn(
     shard_map-wrapped version (``axis_name`` set — see
     parallel.make_parallel_sample_fn) produces exactly the single-device
     images for the same seed and global batch.
+
+    .. warning:: With ``use_ema=True`` this pairs the Polyak-averaged
+       weights with ``state.g_stats['g']`` — BatchNorm running stats
+       collected along the RAW parameter trajectory. That mismatch is the
+       reference lineage's own latent flaw and on a fast-moving trajectory
+       it is catastrophic (round-4 cert: EMA fixture-FID 2301 at IS=1.0 vs
+       raw 463 — structure-free mean color; docs/QUALITY.md). Re-estimate
+       the stats under the EMA weights first via ``make_bn_recalc_fn`` /
+       ``EVAL.EMA_BN_RECALC`` (``GanTrainer.eval_state`` does this for
+       you) and sample from the returned state.
     """
     z_dim = int(cfg.GAN.Z_DIM)
 

@@ -475,6 +475,21 @@ class GanTrainer:
         embedding, save top-scale PNGs."""
         from s2i_tpu.utils.images import save_images
 
+        if self._bn_recalc is None and float(self.cfg.TRAIN.EMA_G) > 0:
+            # sampling the Polyak-averaged G with raw-trajectory BN stats is
+            # the certified-broken combination (docs/QUALITY.md "The EMA
+            # collapse": fixture-FID 2301 at IS=1.0 vs raw 463)
+            import warnings
+
+            warnings.warn(
+                "Sampling EMA params with EVAL.EMA_BN_RECALC=0: BatchNorm "
+                "running stats were collected along the RAW parameter "
+                "trajectory and mismatch the averaged weights (see "
+                "docs/QUALITY.md). Set EVAL.EMA_BN_RECALC (certified: 30) "
+                "unless reproducing the reference lineage's latent flaw.",
+                stacklevel=2,
+            )
+
         # shard_map needs the batch divisible by the data axis
         m = self._mesh_size()
         batch_size = ((batch_size + m - 1) // m) * m
