@@ -29,80 +29,11 @@ Outputs under --out:
 
     python scripts/quality_cert.py --out output/quality --steps 4000
 """
-import sys, os, argparse, json, subprocess, time
+import sys, os, argparse, json, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def build_fixture(out: str, classes: int, per_class: int, captions: int,
-                  emb_dim: int, seed: int) -> str:
-    """Generate the fixture on CPU in a subprocess (no device touched —
-    keeps the parent's single TPU session for the train/eval phases)."""
-    fixture = os.path.join(out, "fixture")
-    if os.path.exists(os.path.join(fixture, "train", "filenames.pickle")):
-        print(f"fixture exists: {fixture}")
-        return fixture
-    env = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
-    subprocess.run(
-        [sys.executable, "tools/make_fixture_dataset.py", "--out", fixture,
-         "--classes", str(classes), "--per_class", str(per_class),
-         "--captions", str(captions), "--emb_dim", str(emb_dim),
-         "--seed", str(seed)],
-        cwd=REPO, env=env, check=True,
-    )
-    return fixture
-
-
-def load_real_images(splits, size: int) -> np.ndarray:
-    """All fixture images at the GAN's top scale, [-1,1] NHWC (the FID
-    real set; center-crop-free resize — fixture images are square)."""
-    from PIL import Image
-
-    imgs = []
-    for split in splits:
-        for i in range(len(split)):
-            im = Image.open(split.image_path(i)).convert("RGB")
-            if im.size != (size, size):
-                im = im.resize((size, size), Image.BILINEAR)
-            imgs.append(np.asarray(im, np.float32) / 127.5 - 1.0)
-    return np.stack(imgs)
-
-
-def finetune_inception(cfg, split, n_classes: int, epochs: int, batch: int,
-                       base_size: int, lr: float):
-    """Fine-tune the IS/FID classifier on the fixture classes (StackGAN
-    protocol, scripts/finetune_inception.py equivalents, in-process).
-    A from-scratch InceptionV3's pool3 features are near-collapsed
-    (std ~1e-4) — FID only discriminates once this classifier is genuinely
-    trained, so the cert records its final train accuracy as provenance."""
-    import jax
-    import jax.numpy as jnp
-    from s2i_tpu.data.stackgan import GanEpochIterator
-    from s2i_tpu.eval.finetune import (
-        init_inception_state,
-        make_inception_train_step,
-    )
-
-    model, state = init_inception_state(
-        n_classes, jax.random.key(int(cfg.SEED)), lr=lr
-    )
-    step = make_inception_train_step(model, lr=lr)
-    mets = {}
-    for epoch in range(epochs):
-        it = GanEpochIterator(split, batch, 1, base_size=base_size,
-                              seed=int(cfg.SEED) + epoch)
-        for b in it:
-            state, mets = step(
-                state,
-                jnp.asarray(b["images"][0]),
-                jnp.asarray(b["class_id"] % n_classes),
-            )
-        if epoch % 5 == 0 or epoch == epochs - 1:
-            print(f"  inception epoch {epoch}: "
-                  f"ce={float(mets['ce']):.3f} acc={float(mets['acc']):.3f}")
-    return {"params": state.params, "batch_stats": state.batch_stats}, mets
 
 
 def main():
@@ -136,6 +67,13 @@ def main():
     os.makedirs(os.path.join(args.out, "grids"), exist_ok=True)
 
     from s2i_tpu import config
+    from s2i_tpu.eval.cert import (
+        build_fixture,
+        finetune_inception,
+        interpretability_floor,
+        load_real_images,
+        make_fid_is,
+    )
 
     cfg = config.cfg_from_file(os.path.join(REPO, args.cfg))
     if args.set:
@@ -155,12 +93,7 @@ def main():
     print(f"backend: {jax.default_backend()}, devices: {len(jax.devices())}")
 
     from s2i_tpu.data.stackgan import StackGanSplit
-    from s2i_tpu.eval import (
-        InceptionFeatures,
-        fid_from_stats,
-        gaussian_stats,
-        inception_score_from_probs,
-    )
+    from s2i_tpu.eval import InceptionFeatures, gaussian_stats
     from s2i_tpu.train.loop import GanTrainer
     from s2i_tpu.utils import save_image_grid
 
@@ -189,25 +122,8 @@ def main():
     real_pool, real_logits = ex.extract(real, args.eval_batch)
     real_stats = gaussian_stats(real_pool)
     # Interpretability floor (VERDICT r4 weak #5): on a 16-class fixture the
-    # absolute FID values are feature-space artifacts — anchor the curve with
-    # the real-vs-real FID (random half vs half, the best any generator could
-    # score at this sample count) and the real set's own IS (the ceiling; IS
-    # is also bounded above by the class count).
-    halves = np.random.default_rng(args.seed).permutation(real_pool.shape[0])
-    floor_fid = fid_from_stats(
-        *gaussian_stats(real_pool[halves[::2]]),
-        *gaussian_stats(real_pool[halves[1::2]]),
-    )
-    rl = real_logits - real_logits.max(axis=1, keepdims=True)
-    re_ = np.exp(rl)
-    real_is_mean, real_is_std = inception_score_from_probs(
-        re_ / re_.sum(axis=1, keepdims=True), splits=5
-    )
-    floor = {
-        "real_real_fid": round(float(floor_fid), 3),
-        "real_is_mean": round(float(real_is_mean), 4),
-        "real_is_std": round(float(real_is_std), 4),
-    }
+    # absolute FID values are feature-space artifacts — anchor the curve.
+    floor = interpretability_floor(real_pool, real_logits, args.seed)
     print(f"  floor: real-vs-real FID={floor['real_real_fid']} "
           f"real IS={floor['real_is_mean']}±{floor['real_is_std']}")
     # eval-mode holdout check: the classifier must separate the REAL fixture
@@ -263,15 +179,7 @@ def main():
             outs.append(imgs[: bs - pad] if pad else imgs)
         return np.concatenate(outs)
 
-    def fid_is_of(fake: np.ndarray) -> tuple[float, float, float]:
-        pool, logits = ex.extract(fake, args.eval_batch)
-        fid = fid_from_stats(*gaussian_stats(pool), *real_stats)
-        logits = logits - logits.max(axis=1, keepdims=True)
-        e = np.exp(logits)
-        is_mean, is_std = inception_score_from_probs(
-            e / e.sum(axis=1, keepdims=True), splits=5
-        )
-        return float(fid), float(is_mean), float(is_std)
+    fid_is_of = make_fid_is(ex, real_stats, args.eval_batch)
 
     def evaluate(step: int, train_mets: dict) -> None:
         t0 = time.time()

@@ -215,6 +215,12 @@ def test_eval_state_bn_recalc_knob(tmp_path):
     cfg2 = tiny_cfg()
     t2 = GanTrainer(cfg2, str(tmp_path / "run2"), gan_batch_factory(cfg2))
     assert t2.eval_state(emb) is t2.state
+    # EMA on + recalc off is the certified-broken combination
+    # (docs/QUALITY.md "The EMA collapse") — the production sample path
+    # must warn instead of silently pairing averaged weights with
+    # raw-trajectory BN stats
+    with pytest.warns(UserWarning, match="EMA_BN_RECALC"):
+        t2.sample_to_dir(emb, str(tmp_path / "samples2"), batch_size=4)
     t2.close()
 
 

@@ -25,13 +25,20 @@ def main():
     p.add_argument("--emb_dim", type=int, default=1024)
     p.add_argument("--image_size", type=int, default=304)
     p.add_argument("--sample_rate", type=int, default=16000)
+    p.add_argument("--test_per_class", type=int, default=1,
+                   help="held-out images per class. With 1, each class's "
+                   "held-out teacher embedding ≈ its prototype, so "
+                   "nearest-prototype accuracy and gallery R@1 are "
+                   "near-degenerate in the encoder certs (ADVICE r4) — "
+                   "hold out >=2 to measure class structure independently "
+                   "of image retrieval")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
-    if args.per_class < 2:
+    if args.per_class < args.test_per_class + 1:
         p.error(
-            "--per_class must be >= 2: the last item of each class goes to "
-            "the test split, the rest to train (per_class=1 would leave the "
-            "train split empty)"
+            "--per_class must exceed --test_per_class: the last "
+            "test_per_class items of each class go to the test split, the "
+            "rest to train (an empty train split trains nothing)"
         )
     from PIL import Image
 
@@ -48,7 +55,11 @@ def main():
         freq = rng.normal(size=(2, 3)) * 2.0
         for j in range(args.per_class):
             name = f"class_{k:03d}/img_{j:04d}"
-            split = "test" if j == args.per_class - 1 else "train"
+            split = (
+                "test"
+                if j >= args.per_class - args.test_per_class
+                else "train"
+            )
             # Class identity = the grating frequencies; per-image nuisance
             # variation = continuous phase, amplitude, and DC offset per
             # channel. Without the nuisance dims every class is a 1-D
