@@ -52,6 +52,14 @@ def main():
     ap.add_argument("--audio_frames", type=int, default=256,
                     help="fixture wavs are 2.0 s = 201 frames")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--emb_dim", type=int, default=1024,
+                    help="fixture embedding dim; must match TEXT.DIMENSION "
+                    "when overridden via --set")
+    ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
+                    help="extra config overrides appended to EVERY stage's "
+                    "--set list (the CLIs share one config tree, so "
+                    "ENCODER.*/GAN.*/TREE.* keys all resolve); lets the "
+                    "CPU smoke test shrink the models")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     fixture = os.path.join(args.out, "fixture")
@@ -101,7 +109,8 @@ def main():
             "tools/make_fixture_dataset.py", "--out", fixture,
             "--classes", str(args.classes),
             "--per_class", str(args.per_class),
-            "--captions", str(args.captions), "--emb_dim", "1024",
+            "--captions", str(args.captions),
+            "--emb_dim", str(args.emb_dim),
         ], env=cpu_env)
     else:
         print(f"fixture exists: {fixture}")
@@ -112,7 +121,7 @@ def main():
         "--set", f"ENCODER.N_CLASSES={args.classes}",
         f"AUDIO.MAX_FRAMES={args.audio_frames}",
         f"OUTPUT_DIR={os.path.join(args.out, 'runs')}",
-    ]
+    ] + args.set
 
     # Stage 2 — §3.1 encoder pretrain
     rec = run("encoder_pretrain",
@@ -137,7 +146,7 @@ def main():
         f"ENCODER.N_CLASSES={args.classes}",
         "TEXT.EMBEDDING_FILE=speech-embeddings.pickle",
         f"OUTPUT_DIR={os.path.join(args.out, 'runs')}",
-    ]
+    ] + args.set
 
     # Stage 4 — §3.3 GAN training on the extracted speech embeddings
     rec = run("gan_train",
