@@ -33,24 +33,7 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-
-def build_fixture(out: str, classes: int, per_class: int, captions: int,
-                  emb_dim: int, seed: int) -> str:
-    """CPU subprocess so the parent keeps the single TPU session
-    (same pattern as scripts/quality_cert.py)."""
-    fixture = os.path.join(out, "fixture")
-    if os.path.exists(os.path.join(fixture, "train", "filenames.pickle")):
-        print(f"fixture exists: {fixture}")
-        return fixture
-    env = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
-    subprocess.run(
-        [sys.executable, "tools/make_fixture_dataset.py", "--out", fixture,
-         "--classes", str(classes), "--per_class", str(per_class),
-         "--captions", str(captions), "--emb_dim", str(emb_dim),
-         "--seed", str(seed)],
-        cwd=REPO, env=env, check=True,
-    )
-    return fixture
+from s2i_tpu.eval.cert import build_fixture  # shared cert plumbing
 
 
 def main():
@@ -63,6 +46,11 @@ def main():
     ap.add_argument("--classes", type=int, default=16)
     ap.add_argument("--per_class", type=int, default=100)
     ap.add_argument("--captions", type=int, default=2)
+    ap.add_argument("--test_per_class", type=int, default=2,
+                    help="held-out images per class; >=2 de-degenerates "
+                    "nearest-prototype accuracy vs gallery R@1 (with one "
+                    "held-out image per class the two metrics are near-"
+                    "identical — ADVICE r4)")
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--eval_every", type=int, default=150)
     ap.add_argument("--train_eval_n", type=int, default=160,
@@ -80,7 +68,7 @@ def main():
     emb_dim = int(cfg.TEXT.DIMENSION)
     fixture = args.fixture or build_fixture(
         args.out, args.classes, args.per_class, args.captions, emb_dim,
-        args.seed,
+        args.seed, test_per_class=args.test_per_class,
     )
     cfg.DATA_DIR = fixture
     cfg.SEED = args.seed
