@@ -40,6 +40,15 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="output/quality")
     ap.add_argument("--cfg", default="cfg/birds_3stages.yml")
+    ap.add_argument("--fixture", default="",
+                    help="reuse an existing fixture tree (same "
+                    "classes/per_class/seed => identical dataset); empty = "
+                    "build under --out")
+    ap.add_argument("--inception_pkl", default="",
+                    help="reuse a saved fine-tuned classifier "
+                    "(inception_finetuned.pkl from a prior run) instead of "
+                    "fine-tuning — scores land in the SAME feature space "
+                    "as that run's curve")
     ap.add_argument("--classes", type=int, default=16)
     ap.add_argument("--per_class", type=int, default=20)
     ap.add_argument("--captions", type=int, default=2)
@@ -79,8 +88,9 @@ def main():
     if args.set:
         config.apply_overrides(cfg, args.set)
     emb_dim = int(cfg.TEXT.DIMENSION)
-    fixture = build_fixture(args.out, args.classes, args.per_class,
-                            args.captions, emb_dim, args.seed)
+    fixture = args.fixture or build_fixture(
+        args.out, args.classes, args.per_class, args.captions, emb_dim,
+        args.seed)
     cfg.DATA_DIR = fixture
     cfg.SEED = args.seed
     cfg.TEXT.EMBEDDING_FILE = "char-CNN-RNN-embeddings.pickle"
@@ -102,14 +112,21 @@ def main():
     branch = int(cfg.TREE.BRANCH_NUM)
     top = int(cfg.TREE.BASE_SIZE) * 2 ** (branch - 1)
 
-    print(f"phase 2: fine-tune Inception on {args.classes} fixture classes")
-    variables, inc_mets = finetune_inception(
-        cfg, train_split, args.classes, args.inc_epochs,
-        int(cfg.TRAIN.BATCH_SIZE), top, args.inc_lr,
-    )
+    import pickle
+    if args.inception_pkl:
+        print(f"phase 2: reuse fine-tuned Inception: {args.inception_pkl}")
+        with open(args.inception_pkl, "rb") as f:
+            variables = pickle.load(f)
+        inc_mets = {"loaded": args.inception_pkl}
+    else:
+        print(f"phase 2: fine-tune Inception on {args.classes} "
+              "fixture classes")
+        variables, inc_mets = finetune_inception(
+            cfg, train_split, args.classes, args.inc_epochs,
+            int(cfg.TRAIN.BATCH_SIZE), top, args.inc_lr,
+        )
     # persist the classifier: post-hoc evals (scripts/posthoc_quality_eval)
     # must score later checkpoints in the SAME feature space as the curve
-    import pickle
     with open(os.path.join(args.out, "inception_finetuned.pkl"), "wb") as f:
         pickle.dump(jax.tree.map(lambda x: np.asarray(x), variables), f)
     # pytorch-fid protocol: eval features see uint8-quantized pixels, the
@@ -254,7 +271,8 @@ def main():
         "raw_fid_best": min(r.get("raw_fid", r["fid"]) for r in results),
         "raw_fid_last": results[-1].get("raw_fid"),
         "raw_is_best": max(r.get("raw_is", r["is_mean"]) for r in results),
-        "inception_acc": round(float(inc_mets["acc"]), 3),
+        "inception_acc": (round(float(inc_mets["acc"]), 3)
+                          if "acc" in inc_mets else inc_mets.get("loaded")),
         "inception_eval_acc": round(eval_acc, 3),
         "inception_test_acc": round(test_acc, 3),
         "train_wall_s": round(t_train, 1),
