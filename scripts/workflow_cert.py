@@ -60,7 +60,18 @@ def main():
                     "--set list (the CLIs share one config tree, so "
                     "ENCODER.*/GAN.*/TREE.* keys all resolve); lets the "
                     "CPU smoke test shrink the models")
+    ap.add_argument("--stage_cooldown", type=int, default=-1,
+                    help="seconds to sleep between device stages; -1 = "
+                    "auto (120 when the axon TPU relay is configured, 0 "
+                    "otherwise). The relay needs ~120 s between client "
+                    "sessions — a back-to-back device-stage handoff "
+                    "wedges the next session in backend-init (observed "
+                    "round 5: stage 2->3 stalled 75+ min).")
     args = ap.parse_args()
+    if args.stage_cooldown < 0:
+        args.stage_cooldown = (
+            120 if os.environ.get("PALLAS_AXON_POOL_IPS") else 0
+        )
     os.makedirs(args.out, exist_ok=True)
     fixture = os.path.join(args.out, "fixture")
     log_path = os.path.join(args.out, "workflow.jsonl")
@@ -69,6 +80,12 @@ def main():
     def run(name: str, cmd: list, parse: dict | None = None,
             env: dict | None = None) -> dict:
         """Run one CLI stage, record wall-clock + parsed artifacts."""
+        # Relay cooldown between device sessions (device stages inherit the
+        # parent env; fixture-building CPU stages pass env=cpu_env and need
+        # no cooldown before them).
+        if env is None and args.stage_cooldown and stages:
+            print(f"   (cooldown {args.stage_cooldown}s before {name})")
+            time.sleep(args.stage_cooldown)
         print(f"== stage {len(stages) + 1}: {name}: {' '.join(cmd)}")
         t0 = time.time()
         r = subprocess.run(
