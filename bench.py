@@ -588,6 +588,40 @@ def main(
     # GAN.S2D and GAN.D_TRUNK_BATCH default to "auto": resolved from the
     # batch size when the step is built (small-batch optimizations; exact
     # math either way — docs/PERF.md has the crossover A/Bs).
+    # HBM-pressure resilience: a killed relay client can leave its
+    # server-side allocations resident (observed round 5: after a host-OOM
+    # kill, even the known-good b96 step RESOURCE_EXHAUSTed until the pool
+    # recycled). A smaller-batch number with a "fallback_from" marker beats
+    # an error line in the driver record.
+    ladder = [b for b in (batch_size, 96, 64, 48, 24) if b <= batch_size]
+    ladder = sorted(set(ladder), reverse=True)
+    last_err = None
+    for try_batch in ladder:
+        try:
+            _bench_gan_at(cfg, try_batch, joint, ship, batch_size)
+            return
+        except Exception as e:  # noqa: BLE001 — match on the status string
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            last_err = e
+            import gc
+
+            gc.collect()
+            print(
+                f"# b{try_batch} RESOURCE_EXHAUSTED — retrying smaller",
+                file=sys.stderr,
+            )
+    raise last_err
+
+
+def _bench_gan_at(
+    cfg, batch_size: int, joint: bool, ship: str, requested_batch: int
+) -> None:
+    import jax
+
+    from s2i_tpu.data import SyntheticGanDataset, SyntheticSpeechDataset
+    from s2i_tpu.train import gan
+
     cfg.TRAIN.BATCH_SIZE = batch_size
     models = gan.build_models(cfg, joint=joint)
     ds_kw = (
@@ -645,20 +679,20 @@ def main(
         if per > 0:
             best = max(best, batch_size / per)
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "gan_joint_ft_images_per_sec_256px"
-                    if joint
-                    else "gan_train_images_per_sec_256px"
-                ),
-                "value": round(best, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(best / 256.0, 3),
-            }
-        )
-    )
+    rec = {
+        "metric": (
+            "gan_joint_ft_images_per_sec_256px"
+            if joint
+            else "gan_train_images_per_sec_256px"
+        ),
+        "value": round(best, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(best / 256.0, 3),
+    }
+    if batch_size != requested_batch:
+        rec["batch"] = batch_size
+        rec["fallback_from"] = requested_batch
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
